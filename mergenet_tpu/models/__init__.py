@@ -1,0 +1,76 @@
+"""Model zoo factory.
+
+API parity with reference `models/__init__.py:9-50` (`get_model`), with the
+same arch-string grammar: `fcn{8,16,32}_resnet{18,34,50,101,152}`,
+`fcn{8,16,32}_vgg16`, `unet`, `pspnet`, `pspfpnet`, `upernet`.
+
+Models are Flax modules in NHWC: forward maps (N, H, W, 3) ->
+(N, H, W, num_classes + num_offsets) logits.  Pass `axis_name='data'` to get
+cross-replica (synchronized) batch-norm statistics under shard_map/pmap.
+"""
+
+import jax
+import jax.numpy as jnp
+
+from .unet import UNet
+from .fcn import FCNResNet, FCNVGG16
+from .pspnet import PSPFPNet, UperNet, PSPNet, PyramidPoolingModule, FPNModule
+from .resnet import ResNetBackbone
+from .vgg import VGG16Backbone
+from .tiling import tile_predict
+
+VALID_ARCHS = (
+    ["fcn{}_resnet{}".format(x, y)
+     for x in [8, 16, 32] for y in [18, 34, 50, 101, 152]]
+    + ["fcn{}_vgg16".format(x) for x in [8, 16, 32]]
+    + ["unet", "pspnet", "pspfpnet", "upernet"]
+)
+
+
+def get_model(num_classes, num_offsets, arch, pretrain=False,
+              axis_name=None, verbose=True):
+    """Build a model by arch string; returns a Flax module.
+
+    `pretrain` is accepted for API parity; pretrained-weight import is done
+    separately via `mergenet_tpu.utils.checkpoint.import_torch_checkpoint`.
+    """
+    if arch not in VALID_ARCHS:
+        raise ValueError("Supported models are: {}\nbut given {}".format(
+            VALID_ARCHS, arch))
+    num_outputs = num_classes + num_offsets
+    if arch == "unet":
+        model = UNet(num_classes, num_offsets, axis_name=axis_name)
+    elif "vgg16" in arch:
+        scale = int(arch.split("_")[0][3:])
+        model = FCNVGG16(num_outputs, scale=scale, axis_name=axis_name)
+    elif arch.startswith("fcn"):
+        names = arch.split("_")
+        scale = int(names[0][3:])
+        layer = int(names[1][6:])
+        model = FCNResNet(num_outputs, scale=scale, layer=layer,
+                          axis_name=axis_name)
+    elif "fpnet" in arch:
+        model = PSPFPNet(num_outputs, layer=50, fpn_dim=256,
+                         axis_name=axis_name)
+    elif arch == "pspnet":
+        model = PSPNet(num_outputs, layer=101, axis_name=axis_name)
+    elif arch == "upernet":
+        model = UperNet(num_outputs, layer=50, fpn_dim=512,
+                        axis_name=axis_name)
+    return model
+
+
+def init_model(model, rng, input_shape=(1, 64, 64, 3), train=False):
+    """Initialize model variables; returns (params, batch_stats).
+
+    `input_shape` only fixes the init trace; convs are shape-polymorphic so
+    the same params serve any spatial size."""
+    variables = model.init({"params": rng, "dropout": rng},
+                           jnp.zeros(input_shape, jnp.float32), train=train)
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", {})
+    return params, batch_stats
+
+
+def param_count(params):
+    return sum(int(x.size) for x in jax.tree_util.tree_leaves(params))

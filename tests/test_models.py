@@ -1,0 +1,127 @@
+"""Model zoo smoke tests: forward shapes, gradient flow, factory grammar."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from mergenet_tpu.models import (get_model, init_model, param_count,
+                                 VALID_ARCHS, tile_predict)
+
+
+def _forward(model, x, train=False, rng=None, **kwargs):
+    rng = rng or jax.random.PRNGKey(0)
+    params, batch_stats = init_model(model, rng, x.shape, train=False)
+    variables = {"params": params, "batch_stats": batch_stats}
+    if train:
+        out, _ = model.apply(variables, x, train=True,
+                             rngs={"dropout": rng},
+                             mutable=["batch_stats"], **kwargs)
+        return out
+    return model.apply(variables, x, train=False, **kwargs)
+
+
+def test_factory_rejects_unknown():
+    with pytest.raises(ValueError):
+        get_model(3, 2, "resnext1000")
+
+
+@pytest.mark.parametrize("arch", ["unet", "fcn16_resnet18", "fcn8_vgg16"])
+def test_forward_shapes_small(arch):
+    model = get_model(3, 2, arch)
+    x = jnp.zeros((1, 64, 64, 3), jnp.float32)
+    out = _forward(model, x)
+    assert out.shape == (1, 64, 64, 5)
+
+
+def test_pspfpnet_forward():
+    model = get_model(3, 2, "pspfpnet")
+    # 96 = divisible by 32 and by PPM pool sizes at /32 (3x3 grid)
+    x = jnp.zeros((1, 96, 96, 3), jnp.float32)
+    out = _forward(model, x)
+    assert out.shape == (1, 96, 96, 5)
+
+
+def test_upernet_forward():
+    model = get_model(3, 2, "upernet")
+    x = jnp.zeros((1, 96, 96, 3), jnp.float32)
+    out = _forward(model, x)
+    assert out.shape == (1, 96, 96, 5)
+
+
+def test_pspnet_forward_and_aux():
+    model = get_model(3, 2, "pspnet")
+    x = jnp.zeros((1, 48, 48, 3), jnp.float32)
+    rng = jax.random.PRNGKey(0)
+    params, batch_stats = init_model(model, rng, x.shape)
+    out = model.apply({"params": params, "batch_stats": batch_stats},
+                      x, train=False)
+    assert out.shape == (1, 48, 48, 5)
+    out, aux = model.apply({"params": params, "batch_stats": batch_stats},
+                           x, train=False, with_aux=True)
+    assert aux.shape == (1, 48, 48, 5)
+
+
+def test_unet_train_grad():
+    """Forward + backward on random input (reference Unet.py:227-236)."""
+    model = get_model(3, 2, "unet", axis_name=None)
+    rng = jax.random.PRNGKey(0)
+    x = jax.random.normal(rng, (1, 32, 32, 3))
+    params, batch_stats = init_model(model, rng, x.shape)
+
+    def loss_fn(p):
+        out, updates = model.apply(
+            {"params": p, "batch_stats": batch_stats}, x, train=True,
+            mutable=["batch_stats"])
+        return jnp.sum(out)
+
+    grads = jax.grad(loss_fn)(params)
+    norms = [float(jnp.abs(g).max())
+             for g in jax.tree_util.tree_leaves(grads)]
+    assert any(n > 0 for n in norms)
+
+
+def test_param_count_positive():
+    model = get_model(3, 2, "unet")
+    params, _ = init_model(model, jax.random.PRNGKey(0), (1, 32, 32, 3))
+    assert param_count(params) > 1_000_000  # UNet depth5 is ~31M
+
+
+def test_valid_archs_cover_reference():
+    # parity with reference models/__init__.py:10-16
+    assert "fcn8_resnet152" in VALID_ARCHS
+    assert "fcn32_vgg16" in VALID_ARCHS
+    assert {"unet", "pspnet", "pspfpnet", "upernet"} <= set(VALID_ARCHS)
+
+
+def test_tile_predict_shapes_and_normalization():
+    C = 4
+
+    def fake_apply(x):
+        # deterministic "model": logits from the image mean
+        return jnp.tile(x.mean(axis=-1, keepdims=True), (1, 1, 1, C))
+
+    imgs = jnp.asarray(np.random.RandomState(0).rand(2, 40, 56, 3)
+                       .astype(np.float32))
+    probs = tile_predict(fake_apply, imgs, C, (16, 16))
+    assert probs.shape == (2, 40, 56, C)
+    np.testing.assert_allclose(np.asarray(probs.sum(-1)), 1.0, rtol=1e-5)
+
+
+def test_tile_predict_class_remap():
+    """background = max over non-instance channels, instances copied
+    (reference pspnet_caffe.py:548-554)."""
+    n_model, n_inst = 6, 3
+
+    def fake_apply(x):
+        n = x.shape[0]
+        logits = jnp.zeros((n, x.shape[1], x.shape[2], n_model))
+        return logits.at[..., 1].set(3.0)  # one dominant non-instance class
+
+    imgs = jnp.zeros((1, 16, 16, 3), jnp.float32)
+    probs = tile_predict(fake_apply, imgs, n_inst, (8, 8),
+                         n_model_classes=n_model, include_flip_mode=False)
+    assert probs.shape == (1, 16, 16, n_inst)
+    # channel 0 (background) should dominate after the remap
+    assert np.asarray(probs[..., 0]).min() > 0.5
