@@ -1,0 +1,100 @@
+"""Sharded training-step tests on the virtual 8-device CPU mesh."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from mergenet_tpu.models import get_model
+from mergenet_tpu.parallel import (
+    make_mesh, batch_sharding, make_optimizer, create_train_state,
+    build_train_step, build_eval_step, multistep_lr)
+from mergenet_tpu.parallel.mesh import shard_batch
+
+
+def test_mesh_axes():
+    mesh = make_mesh()
+    assert mesh.shape["data"] == len(jax.devices())
+    mesh = make_mesh(spatial=2)
+    assert mesh.shape["data"] * 2 == len(jax.devices())
+
+
+def test_multistep_lr():
+    sched = multistep_lr(0.1, [2, 4], gamma=0.1, steps_per_epoch=10)
+    assert np.isclose(sched(0), 0.1)
+    assert np.isclose(sched(25), 0.01)
+    assert np.isclose(sched(45), 0.001)
+
+
+def _tiny_setup(mesh=None):
+    model = get_model(3, 2, "unet", axis_name=None)
+    # tiny UNet stand-in: use depth-2 version for speed
+    from mergenet_tpu.models.unet import UNet
+    model = UNet(3, 2, depth=2, start_filts=8)
+    tx = make_optimizer(lr=0.05, milestones=[100])
+    state = create_train_state(model, tx, jax.random.PRNGKey(0),
+                               (1, 16, 16, 3))
+    step = build_train_step(3, 2, alpha=1.0, mesh=mesh)
+    return model, state, step
+
+
+def test_train_step_decreases_loss():
+    _, state, step = _tiny_setup()
+    rng = jax.random.PRNGKey(1)
+    img = jax.random.uniform(rng, (4, 16, 16, 3))
+    target = (jax.random.uniform(jax.random.PRNGKey(2),
+                                 (4, 16, 16, 5)) > 0.5).astype(jnp.float32)
+    losses = []
+    for i in range(8):
+        state, metrics = step(state, img, target, jax.random.PRNGKey(i))
+        losses.append(float(metrics["loss"]))
+    assert losses[-1] < losses[0]
+    assert int(state.step) == 8
+
+
+def test_train_step_sharded_matches_unsharded():
+    """The pjit'd step over an 8-device mesh produces the same loss
+    trajectory as single-device execution (SPMD is semantics-preserving)."""
+    mesh = make_mesh()
+    _, state_a, step_plain = _tiny_setup()
+    _, state_b, step_mesh = _tiny_setup(mesh=mesh)
+
+    img = jax.random.uniform(jax.random.PRNGKey(1), (8, 16, 16, 3))
+    target = (jax.random.uniform(jax.random.PRNGKey(2),
+                                 (8, 16, 16, 5)) > 0.5).astype(jnp.float32)
+    img_sh = jax.device_put(img, batch_sharding(mesh, spatial_axis=None))
+    tgt_sh = jax.device_put(target, batch_sharding(mesh, spatial_axis=None))
+
+    for i in range(3):
+        rng = jax.random.PRNGKey(i)
+        state_a, ma = step_plain(state_a, img, target, rng)
+        state_b, mb = step_mesh(state_b, img_sh, tgt_sh, rng)
+        np.testing.assert_allclose(float(ma["loss"]), float(mb["loss"]),
+                                   rtol=2e-5)
+
+
+def test_eval_step():
+    _, state, _ = _tiny_setup()
+    eval_step = build_eval_step(3, 2)
+    img = jax.random.uniform(jax.random.PRNGKey(1), (2, 16, 16, 3))
+    target = jnp.zeros((2, 16, 16, 5))
+    probs, metrics = eval_step(state, img, target)
+    assert probs.shape == (2, 16, 16, 5)
+    assert float(probs.min()) >= 0 and float(probs.max()) <= 1
+    assert np.isfinite(float(metrics["loss"]))
+
+
+def test_spatial_sharding_compiles():
+    """Conv forward with the batch sharded over both data and spatial axes:
+    GSPMD inserts halo exchanges automatically."""
+    mesh = make_mesh(data=4, spatial=2)
+    _, state, step = _tiny_setup(mesh=mesh)
+    img = jax.random.uniform(jax.random.PRNGKey(1), (4, 16, 16, 3))
+    target = (jax.random.uniform(jax.random.PRNGKey(2),
+                                 (4, 16, 16, 5)) > 0.5).astype(jnp.float32)
+    sh = batch_sharding(mesh, spatial_axis=1)
+    img = jax.device_put(img, sh)
+    target = jax.device_put(target, sh)
+    state, metrics = step(state, img, target, jax.random.PRNGKey(0))
+    assert np.isfinite(float(metrics["loss"]))
