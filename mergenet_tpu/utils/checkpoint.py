@@ -1,0 +1,97 @@
+"""Checkpointing: orbax-backed save/restore of the full train state plus the
+offset list (the offset set is part of the model contract — it is persisted
+in the checkpoint and reloaded at inference, reference
+`train_utils.py:286-295`, `egs/cityscape/local/offset_infer.py:43`).
+
+Also provides a torch `.pth.tar` importer so reference-trained weights can
+be loaded for forward-parity checks (conv NCHW->HWIO transpose, BN
+running-stats mapping).
+"""
+
+import json
+import os
+import shutil
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _ocp():
+    import orbax.checkpoint as ocp
+    return ocp
+
+
+def save_checkpoint(dir, state, is_best, offsets=None, epoch=None,
+                    best_iou=None, filename="checkpoint"):
+    """Save train state (+ metadata) under `dir`/`filename`; copy to
+    `dir`/model_best when `is_best` (reference train_utils.py:286-295)."""
+    ocp = _ocp()
+    os.makedirs(dir, exist_ok=True)
+    path = os.path.abspath(os.path.join(dir, filename))
+    if os.path.exists(path):
+        shutil.rmtree(path)
+    with ocp.StandardCheckpointer() as ckptr:
+        ckptr.save(path, {
+            "params": jax.device_get(state.params),
+            "batch_stats": jax.device_get(state.batch_stats),
+            "opt_state": jax.device_get(state.opt_state),
+            "step": int(state.step),
+        })
+    meta = {"epoch": epoch, "best_iou": best_iou,
+            "offsets": [list(o) for o in offsets] if offsets else None}
+    with open(os.path.join(dir, filename + ".meta.json"), "w") as f:
+        json.dump(meta, f)
+    if is_best:
+        best = os.path.abspath(os.path.join(dir, "model_best"))
+        if os.path.exists(best):
+            shutil.rmtree(best)
+        shutil.copytree(path, best)
+        shutil.copyfile(os.path.join(dir, filename + ".meta.json"),
+                        os.path.join(dir, "model_best.meta.json"))
+
+
+def load_checkpoint(dir, state, filename="checkpoint"):
+    """Restore a checkpoint into `state`; returns (state, meta dict).
+
+    meta contains 'epoch', 'best_iou', and 'offsets' (list of (di, dj))."""
+    ocp = _ocp()
+    path = os.path.abspath(os.path.join(dir, filename))
+    target = {
+        "params": jax.device_get(state.params),
+        "batch_stats": jax.device_get(state.batch_stats),
+        "opt_state": jax.device_get(state.opt_state),
+        "step": int(state.step),
+    }
+    with ocp.StandardCheckpointer() as ckptr:
+        restored = ckptr.restore(path, target)
+    state = state.replace(
+        params=restored["params"], batch_stats=restored["batch_stats"],
+        opt_state=restored["opt_state"],
+        step=jnp.asarray(restored["step"], jnp.int32))
+    meta_path = os.path.join(dir, filename + ".meta.json")
+    meta = {}
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            meta = json.load(f)
+        if meta.get("offsets"):
+            meta["offsets"] = [tuple(o) for o in meta["offsets"]]
+    return state, meta
+
+
+def import_torch_checkpoint(path):
+    """Load a reference `.pth.tar` checkpoint into a flat dict of numpy
+    arrays keyed by the torch state-dict names, with conv kernels transposed
+    to HWIO.  Returns (flat_weights, metadata)."""
+    import torch
+    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    state_dict = ckpt.get("model_state", ckpt)
+    out = {}
+    for k, v in state_dict.items():
+        a = v.detach().cpu().numpy()
+        if a.ndim == 4:  # conv OIHW -> HWIO
+            a = np.transpose(a, (2, 3, 1, 0))
+        out[k] = a
+    meta = {k: ckpt[k] for k in ("epoch", "best_iou", "offset")
+            if isinstance(ckpt, dict) and k in ckpt}
+    return out, meta

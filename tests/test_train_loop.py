@@ -1,0 +1,149 @@
+"""End-to-end slice test: synthetic data -> UNet train -> checkpoint ->
+inference -> C++ merge decode -> instances (BASELINE config 2)."""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from mergenet_tpu.models.unet import UNet
+from mergenet_tpu.ops.targets import mask_to_target_np
+from mergenet_tpu.parallel import (make_optimizer, create_train_state,
+                                   build_train_step, build_eval_step)
+from mergenet_tpu.utils import train, validate, sample
+from mergenet_tpu.utils.checkpoint import save_checkpoint, load_checkpoint
+from mergenet_tpu.utils.inference_utils import (class_inference,
+                                                offset_inference)
+from mergenet_tpu.decoder import csegment
+
+from helpers import make_instance_scene
+
+OFFSETS = [(1, 0), (0, 1), (-2, -1)]
+NUM_CLASSES = 3
+HW = 32
+
+
+def _synthetic_loader(n_batches=4, batch=4, seed=0):
+    """Deterministic batches derived from the fixture scene: the image is
+    the class mask rendered as colors + noise, so the task is learnable."""
+    inst, classes = make_instance_scene(HW, HW)
+    oc = np.zeros(8, dtype=np.int32)
+    for i, c in classes.items():
+        oc[i] = c
+    target = mask_to_target_np(inst, oc, NUM_CLASSES, OFFSETS)
+    palette = np.array([[0.1, 0.1, 0.1], [0.9, 0.2, 0.2], [0.2, 0.3, 0.9]],
+                       np.float32)
+    img = palette[oc[inst]]
+    rng = np.random.RandomState(seed)
+    batches = []
+    for _ in range(n_batches):
+        imgs = np.stack([img + rng.normal(0, 0.05, img.shape)
+                         .astype(np.float32) for _ in range(batch)])
+        targets = np.stack([target] * batch)
+        batches.append((imgs, targets))
+    return batches, inst, classes
+
+
+@pytest.fixture(scope="module")
+def trained():
+    model = UNet(NUM_CLASSES, len(OFFSETS), depth=3, start_filts=8)
+    tx = make_optimizer(lr=0.05, milestones=None)
+    state = create_train_state(model, tx, jax.random.PRNGKey(0),
+                               (1, HW, HW, 3))
+    step = build_train_step(NUM_CLASSES, len(OFFSETS), alpha=1.0)
+    eval_step = build_eval_step(NUM_CLASSES, len(OFFSETS))
+    loader, inst, classes = _synthetic_loader()
+    for epoch in range(12):
+        state, _ = train(loader, state, step, 4, epoch, 0,
+                         num_classes=NUM_CLASSES, offset_list=OFFSETS,
+                         print_freq=1000)
+    return state, eval_step, loader, inst, classes
+
+
+def test_training_learns(trained):
+    state, eval_step, loader, inst, classes = trained
+    img, target = loader[0]
+    probs, metrics = eval_step(state, img, target)
+    assert float(metrics["loss"]) < 0.25
+    # class argmax should mostly match the scene
+    pred_cls = np.asarray(jnp.argmax(probs[0, ..., :NUM_CLASSES], -1))
+    oc = np.zeros(8, dtype=np.int32)
+    for i, c in classes.items():
+        oc[i] = c
+    gt_cls = oc[inst]
+    assert (pred_cls == gt_cls).mean() > 0.9
+
+
+def test_validate_returns_iou(trained):
+    state, eval_step, loader, _, _ = trained
+    val_loader = [(im, t) for im, t in loader[:2]]
+    miou = validate(val_loader, state, eval_step, 4, 0, 0,
+                    num_classes=NUM_CLASSES,
+                    class_nms=["bg", "a", "b"],
+                    offset_list=OFFSETS, score=True, print_freq=1000)
+    assert miou > 0.8  # cls mIoU + offset mIoU, each in [0,1]
+
+
+def test_checkpoint_roundtrip(trained, tmp_path):
+    state, eval_step, loader, _, _ = trained
+    save_checkpoint(str(tmp_path), state, is_best=True, offsets=OFFSETS,
+                    epoch=3, best_iou=0.5)
+    # fresh state, then restore
+    model = UNet(NUM_CLASSES, len(OFFSETS), depth=3, start_filts=8)
+    tx = make_optimizer(lr=0.05)
+    fresh = create_train_state(model, tx, jax.random.PRNGKey(42),
+                               (1, HW, HW, 3))
+    restored, meta = load_checkpoint(str(tmp_path), fresh)
+    assert meta["offsets"] == [tuple(o) for o in OFFSETS]
+    assert meta["epoch"] == 3
+    img, target = loader[0]
+    p1, _ = eval_step(state, img, target)
+    p2, _ = eval_step(restored, img, target)
+    np.testing.assert_allclose(np.asarray(p1), np.asarray(p2), atol=1e-6)
+    # best copy exists
+    restored_best, _ = load_checkpoint(str(tmp_path), fresh,
+                                       filename="model_best")
+    p3, _ = eval_step(restored_best, img, target)
+    np.testing.assert_allclose(np.asarray(p1), np.asarray(p3), atol=1e-6)
+
+
+def test_inference_decode_end_to_end(trained, tmp_path):
+    """class_infer -> offset_infer -> C++ decode reproduces the scene."""
+    state, eval_step, loader, inst, classes = trained
+    img, target = loader[0]
+    ids = np.arange(img.shape[0])
+    dataloader = [(ids, img, target)]
+    exp = str(tmp_path)
+    class_inference(dataloader, exp, state, NUM_CLASSES, 4, print_freq=1000)
+    offset_inference(dataloader, exp, state, OFFSETS, 4, print_freq=1000)
+    cp = np.load(os.path.join(exp, "npy", "0.class.npy"))
+    sp = np.load(os.path.join(exp, "npy", "0.offset.npy"))
+    assert cp.shape == (NUM_CLASSES, HW, HW)
+    assert sp.shape == (len(OFFSETS), HW, HW)
+    mask, object_class = csegment.run_segmentation(
+        cp, sp, NUM_CLASSES, OFFSETS,
+        object_merge_factor=1.0 / len(OFFSETS), do_prune=False)
+    # decoded instances should match the two ground-truth rectangles
+    assert len(object_class) >= 2
+    # the two biggest non-bg instances should align with GT rectangles
+    for gt_id in (1, 2):
+        gt = inst == gt_id
+        best_iou = 0.0
+        for k in range(1, mask.max() + 1):
+            dec = mask == k
+            inter = (gt & dec).sum()
+            union = (gt | dec).sum()
+            best_iou = max(best_iou, inter / union)
+        assert best_iou > 0.7, "instance {} IoU {}".format(gt_id, best_iou)
+
+
+def test_sample_writes_pngs(trained, tmp_path):
+    state, eval_step, loader, _, _ = trained
+    sample(state, eval_step, loader, str(tmp_path), NUM_CLASSES,
+           len(OFFSETS))
+    assert os.path.exists(os.path.join(str(tmp_path), "raw.png"))
+    assert os.path.exists(os.path.join(str(tmp_path), "class_0.png"))
+    assert os.path.exists(os.path.join(str(tmp_path), "bound_0pred.png"))
