@@ -1,0 +1,161 @@
+"""On-device (JAX) merge decoder tests: oracle exactness, host parity on
+noisy inputs, prune, batch vmap."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from mergenet_tpu.decoder import csegment
+from mergenet_tpu.decoder.device import (decode_on_device, relabel_mask,
+                                         run_segmentation_device)
+from mergenet_tpu.decoder.segmenter import ObjectSegmenter, SegmenterOptions
+
+from helpers import make_instance_scene, oracle_probs, matches_ground_truth
+
+OFFSETS = ((1, 0), (0, 1), (-2, -1), (1, -2), (3, 2))
+NUM_CLASSES = 3
+
+
+def test_oracle_decode_device():
+    inst, classes = make_instance_scene()
+    cp, sp = oracle_probs(inst, classes, NUM_CLASSES, OFFSETS)
+    mask, object_class = run_segmentation_device(
+        cp, sp, NUM_CLASSES, OFFSETS,
+        object_merge_factor=1.0 / len(OFFSETS))
+    assert matches_ground_truth(mask, object_class, inst, classes)
+
+
+def test_oracle_decode_device_product_mode():
+    inst, classes = make_instance_scene()
+    cp, sp = oracle_probs(inst, classes, NUM_CLASSES, OFFSETS)
+    mask, object_class = run_segmentation_device(
+        cp, sp, NUM_CLASSES, OFFSETS,
+        object_merge_factor=1.0 / len(OFFSETS), den_mode="product")
+    assert matches_ground_truth(mask, object_class, inst, classes)
+
+
+def _objective(mask, cp, sp, offsets, factor):
+    """Total log-likelihood of a labeling (class term + pairwise term)."""
+    eps = np.finfo(np.float32).eps
+    cp = np.clip(cp, eps, 1 - eps)
+    sp = np.clip(sp, eps, 1 - eps)
+    C, H, W = cp.shape
+    # class term: each component takes its best class
+    lab = mask.reshape(-1)
+    cls_lp = np.log(cp).reshape(C, -1).T
+    tot_cls = 0.0
+    for r in np.unique(lab):
+        member = lab == r
+        tot_cls += cls_lp[member].sum(axis=0).max()
+    # pairwise term
+    tot_pair = 0.0
+    m = mask
+    for oi, (di, dj) in enumerate(offsets):
+        rows = np.arange(H)[:, None]
+        cols = np.arange(W)[None, :]
+        r2, c2 = rows + di, cols + dj
+        ok = (r2 >= 0) & (r2 < H) & (c2 >= 0) & (c2 < W)
+        src = m[ok]
+        dst = m[np.clip(r2, 0, H - 1), np.clip(c2, 0, W - 1)][ok]
+        ls = np.log(sp[oi])[ok]
+        ld = np.log1p(-sp[oi])[ok]
+        same = src == dst
+        tot_pair += ls[same].sum() + ld[~same].sum()
+    return tot_cls + factor * tot_pair
+
+
+def test_device_objective_close_to_host_greedy():
+    """On noisy inputs the parallel schedule may differ from the serial
+    greedy, but both should land at comparable objective values."""
+    rng = np.random.RandomState(7)
+    inst, classes = make_instance_scene()
+    cp, sp = oracle_probs(inst, classes, NUM_CLASSES, OFFSETS, conf=0.8)
+    cp = np.clip(cp + rng.uniform(-0.2, 0.2, cp.shape),
+                 1e-4, 1 - 1e-4).astype(np.float32)
+    sp = np.clip(sp + rng.uniform(-0.2, 0.2, sp.shape),
+                 1e-4, 1 - 1e-4).astype(np.float32)
+    factor = 1.0 / len(OFFSETS)
+
+    mask_h, _ = csegment.run_segmentation(
+        cp, sp, NUM_CLASSES, OFFSETS, object_merge_factor=factor,
+        do_prune=False)
+    # raw component labels (before background suppression) for the device
+    label, root_class, is_inst = decode_on_device(
+        jnp.asarray(np.moveaxis(cp, 0, -1)),
+        jnp.asarray(np.moveaxis(sp, 0, -1)),
+        NUM_CLASSES, OFFSETS, object_merge_factor=factor)
+    lab_d = np.asarray(label)
+
+    obj_h = _objective(_full_labels_host(cp, sp, factor), cp, sp,
+                       OFFSETS, factor)
+    obj_d = _objective(lab_d, cp, sp, OFFSETS, factor)
+    # device objective within 0.5% of host greedy objective
+    assert obj_d >= obj_h - 0.005 * abs(obj_h), (obj_d, obj_h)
+
+
+def _full_labels_host(cp, sp, factor):
+    """Host greedy, but returning the raw component labeling (including
+    background components) for objective comparison."""
+    seg = ObjectSegmenter(cp, sp, NUM_CLASSES, OFFSETS,
+                          SegmenterOptions(object_merge_factor=factor,
+                                           do_prune=False))
+    seg.run_segmentation()
+    N = seg.H * seg.W
+    root = np.empty(N, dtype=np.int64)
+    for i in range(N):
+        root[i] = seg.find(i)
+    return root.reshape(seg.H, seg.W)
+
+
+def test_device_decode_instance_agreement_noisy():
+    """Each ground-truth instance is recovered with high IoU on mildly
+    noisy inputs."""
+    rng = np.random.RandomState(3)
+    inst, classes = make_instance_scene()
+    cp, sp = oracle_probs(inst, classes, NUM_CLASSES, OFFSETS, conf=0.85)
+    cp = np.clip(cp + rng.uniform(-0.1, 0.1, cp.shape),
+                 1e-4, 1 - 1e-4).astype(np.float32)
+    sp = np.clip(sp + rng.uniform(-0.1, 0.1, sp.shape),
+                 1e-4, 1 - 1e-4).astype(np.float32)
+    mask, object_class = run_segmentation_device(
+        cp, sp, NUM_CLASSES, OFFSETS,
+        object_merge_factor=1.0 / len(OFFSETS))
+    for gt_id in (1, 2):
+        gt = inst == gt_id
+        best = 0.0
+        for k in range(1, mask.max() + 1):
+            d = mask == k
+            best = max(best, (gt & d).sum() / (gt | d).sum())
+        assert best > 0.9, best
+
+
+def test_device_prune():
+    inst, classes = make_instance_scene()
+    cp, sp = oracle_probs(inst, classes, NUM_CLASSES, OFFSETS)
+    mask, object_class = run_segmentation_device(
+        cp, sp, NUM_CLASSES, OFFSETS,
+        object_merge_factor=1.0 / len(OFFSETS),
+        do_prune=True, prune_threshold=1e9)
+    assert mask.max() == 0 and object_class == []
+
+
+def test_device_decode_batched_vmap():
+    """The decoder vmaps over a batch (the production batched-decode path)."""
+    inst, classes = make_instance_scene()
+    cp, sp = oracle_probs(inst, classes, NUM_CLASSES, OFFSETS)
+    cpl = jnp.asarray(np.moveaxis(cp, 0, -1))[None].repeat(2, axis=0)
+    spl = jnp.asarray(np.moveaxis(sp, 0, -1))[None].repeat(2, axis=0)
+
+    decode = jax.vmap(lambda c, s: decode_on_device(
+        c, s, NUM_CLASSES, OFFSETS,
+        object_merge_factor=1.0 / len(OFFSETS)))
+    labels, root_classes, is_inst = decode(cpl, spl)
+    masks, inst_classes = jax.vmap(relabel_mask)(labels, root_classes,
+                                                 is_inst)
+    for b in range(2):
+        classes_b = [int(v) for v in np.asarray(inst_classes[b])
+                     if v != -1][:int(np.asarray(masks[b]).max())]
+        assert matches_ground_truth(np.asarray(masks[b]), classes_b,
+                                    inst, classes)
