@@ -3,31 +3,39 @@
 The reference decode is an inherently serial priority-queue greedy
 (`utils/segmenter.py:432-483`, `utils/csegment/segment.cc:520-573`): ~43 s
 per 512x1024 frame on one CPU core.  This module reformulates the same
-objective as data-parallel rounds of *mutual-best-edge* merging
-(Boruvka-style agglomeration):
+objective for TPU execution in three phases, chosen around TPU strengths
+(vector ops, rolls, sorts, scans) and around its weakness (low-throughput
+random gather/scatter):
 
-  repeat until no candidate merge has non-negative priority:
-    1. For every (pixel, offset) edge, find the component pair it links and
-       aggregate each pair's object-merge logprob  sum log(b/(1-b)).
-    2. Compute every pair's merge priority
-           (oml * object_merge_factor + class_delta) / (n1 + n2) + bias
-       (or the 'product' variant), exactly the greedy's priority
-       (`segment.cc:145-150` / `segmenter.py:189-193`).
-    3. Each component selects its best incident pair; pairs that select
-       each other ("mutual best") merge simultaneously.  The globally
-       best pair is always mutual, so every round makes progress and the
-       fixed point satisfies the same no-positive-merge condition as the
-       greedy.
+Phase 1 — **segmented-scan flood fill** over "surely mergeable" unit-offset
+    edges: an edge (p, p+o), o in {(0,1),(1,0)}, is *strong* when both
+    pixels share an argmax class (=> class_delta_logprob = 0) and its
+    pixel-level merge priority is non-negative — exactly the edges the
+    greedy would merge in some order, in any order (within such a component
+    every pairwise merge keeps cdl = 0 and aggregated log-odds positive).
+    Connected runs are collapsed by segmented min-scans along rows and
+    columns (`lax.associative_scan`) — pure vector work, no gathers.
+    Partial convergence is safe: phase 3 finishes any remaining merges.
 
-Everything is fixed-shape: components live in flat arrays indexed by pixel
-id, pair aggregation is a 2-key sort + segment-sum, and the loop is a
-`lax.while_loop` with a convergence flag — no data-dependent shapes, no
-host sync.  Greedy equivalence is exact on oracle inputs and validated at
-the instance-AP level on noisy inputs (see tests/test_device_decoder.py).
+Phase 2 — **edge compaction**: per-offset component-id grids come from
+    rolls of the label grid (structured, no gather); external edges are
+    front-sorted by one 1-key sort and the top `max_edges` slots kept.
 
-Layout: probabilities come in channel-last (H, W, C) / (H, W, O) — the
-TPU-native layout the nets emit — so net forward + decode runs end-to-end
-on device with no transpose or host round-trip.
+Phase 3 — **Boruvka rounds by likelihood-gain priority** on the compact
+    component/edge arrays: aggregate each component-pair's object-merge
+    logprob (2-key sort + segment-sum), compute the greedy's exact merge
+    priority ((oml * factor + class_delta) / (n1 + n2) + bias, reference
+    `segment.cc:145-150`, or the 'product' variant `segmenter.py:189-193`),
+    hook every component to its best non-negative partner, contract trees
+    by pointer jumping, scatter-add stats into the surviving roots.  The
+    fixed point satisfies the same "no non-negative-priority merge remains"
+    condition as the serial greedy.
+
+Greedy equivalence is exact on oracle inputs and holds at the objective /
+instance level on noisy inputs (tests/test_device_decoder.py).
+
+Layout: channel-last (H, W, C)/(H, W, O) — what the nets emit — so forward
++ decode runs end-to-end on device with no transpose or host round-trip.
 """
 
 import functools
@@ -40,24 +48,20 @@ import numpy as np
 NEG_INF = -3.0e38
 
 
-def _build_edges(H, W, offsets):
-    """Static edge structure: for each offset o and pixel p, an edge
-    (p, p+o).  Returns int32 numpy arrays (ep, eq, valid) of shape (E,),
-    E = H*W*len(offsets)."""
-    rows = np.arange(H)[:, None]
-    cols = np.arange(W)[None, :]
-    p = (rows * W + cols).reshape(-1)
-    ep, eq, valid = [], [], []
-    for (di, dj) in offsets:
-        r2, c2 = rows + di, cols + dj
-        ok = ((r2 >= 0) & (r2 < H) & (c2 >= 0) & (c2 < W)).reshape(-1)
-        q = (np.clip(r2, 0, H - 1) * W + np.clip(c2, 0, W - 1)).reshape(-1)
-        ep.append(p)
-        eq.append(q)
-        valid.append(ok)
-    return (np.concatenate(ep).astype(np.int32),
-            np.concatenate(eq).astype(np.int32),
-            np.concatenate(valid))
+def _seg_min_scan(label, link, axis, reverse=False):
+    """Segmented min-scan: propagate the running minimum along `axis`
+    through elements whose `link` flag marks them connected to their
+    predecessor (in scan direction)."""
+    flags = ~link
+
+    def op(a, b):
+        m1, f1 = a
+        m2, f2 = b
+        return (jnp.where(f2, m2, jnp.minimum(m1, m2)), f1 | f2)
+
+    m, _ = jax.lax.associative_scan(op, (label, flags), axis=axis,
+                                    reverse=reverse)
+    return m
 
 
 @functools.partial(
@@ -65,89 +69,171 @@ def _build_edges(H, W, offsets):
     static_argnames=("num_classes", "offsets", "den_mode", "max_rounds",
                      "do_prune", "same_different_bias",
                      "object_merge_factor", "merge_logprob_bias",
-                     "prune_threshold"))
+                     "prune_threshold", "max_components", "max_edges",
+                     "ccl_sweeps"))
 def decode_on_device(class_probs, sameness_probs, num_classes, offsets,
                      same_different_bias=0.0, object_merge_factor=1.0,
                      merge_logprob_bias=0.0, den_mode="sum",
                      do_prune=False, prune_threshold=200.0,
-                     max_rounds=64):
+                     max_rounds=48, max_components=None, max_edges=None,
+                     ccl_sweeps=3):
     """Decode one image into instances, entirely on device.
 
     Args:
         class_probs: (H, W, C) float, sigmoid class probabilities.
         sameness_probs: (H, W, O) float.
         num_classes, offsets: model configuration (static).
-        remaining: segmenter hyperparameters (same semantics as
-            `SegmenterOptions`; `den_mode` 'sum' or 'product').
-        max_rounds: static cap on merge rounds (64 covers >= 2^64 pixels of
-            pure pair-merging; real scenes converge in ~15-30 rounds).
+        same_different_bias / object_merge_factor / merge_logprob_bias /
+            den_mode / prune_threshold: segmenter hyperparameters (same
+            semantics as `SegmenterOptions`).
+        max_rounds: static cap on Boruvka rounds.
+        max_components: capacity of the component arrays after phase 1
+            (default: all pixels — exact; set ~N/4 for speed at full res).
+        max_edges: capacity of the compacted external-edge arrays
+            (default: all edges — exact).
+        ccl_sweeps: row+column segmented-scan sweeps in phase 1.
 
     Returns:
-        label: (H, W) int32 — final component root id per pixel.
-        root_class: (H*W,) int32 — class id per root (valid at root ids).
-        is_instance_root: (H*W,) bool — roots that are live non-background
-            components.
-        Use `relabel_mask` to convert to a compact 1..K instance mask.
+        comp: (H, W) int32 — final component id per pixel, in [0, M).
+        root_class: (M,) int32 — class id per component root.
+        is_instance_root: (M,) bool — live non-background components.
+        Use `relabel_mask` for a compact 1..K instance mask.
     """
     H, W, C = class_probs.shape
     O = sameness_probs.shape[-1]
     assert C == num_classes and O == len(offsets)
     N = H * W
-    eps = jnp.float32(1.1920929e-07)
+    M = N if max_components is None else min(max_components, N)
+    f32 = jnp.float32
+    eps = f32(1.1920929e-07)
+    omf = f32(object_merge_factor)
+    bias = f32(merge_logprob_bias)
 
-    cp = jnp.clip(class_probs.astype(jnp.float32), eps, 1.0 - eps)
-    sp = jnp.clip(sameness_probs.astype(jnp.float32), eps, 1.0 - eps)
+    cp = jnp.clip(class_probs.astype(f32), eps, 1.0 - eps)
+    sp = jnp.clip(sameness_probs.astype(f32), eps, 1.0 - eps)
     if same_different_bias:
         logit = (jnp.log(sp) - jnp.log1p(-sp) + same_different_bias)
         sp = jnp.clip(jax.nn.sigmoid(logit), eps, 1.0 - eps)
 
-    cls_lp0 = jnp.log(cp).reshape(N, C)
-    log_same = jnp.log(sp).reshape(N, O)
-    log_diff = jnp.log1p(-sp).reshape(N, O)
+    cls_lp_pix = jnp.log(cp)                       # (H, W, C)
+    log_odds = jnp.log(sp) - jnp.log1p(-sp)        # (H, W, O)
+    argmax_pix = jnp.argmax(cls_lp_pix, axis=-1)   # (H, W)
 
-    ep_np, eq_np, valid_np = _build_edges(H, W, offsets)
-    ep = jnp.asarray(ep_np)
-    eq = jnp.asarray(eq_np)
-    valid = jnp.asarray(valid_np)
-    # per-edge log odds, laid out offset-major to match _build_edges
-    e_oml = (log_same - log_diff).T.reshape(-1)
-    e_oml = jnp.where(valid, e_oml, 0.0)
-    E = int(ep_np.shape[0])
+    # ---------------- phase 1: segmented-scan flood fill ----------------
+    label = jnp.arange(N, dtype=jnp.int32).reshape(H, W)
 
-    f32 = jnp.float32
-    omf = f32(object_merge_factor)
-    bias = f32(merge_logprob_bias)
+    def strong_edge(oi, di, dj):
+        """(H, W) bool: strong edge from (i, j) to (i+di, j+dj)."""
+        same_cls = argmax_pix == jnp.roll(
+            jnp.roll(argmax_pix, -di, axis=0), -dj, axis=1)
+        oml = log_odds[:, :, oi]
+        if den_mode == "sum":
+            pri = oml * omf / 2.0 + bias
+        else:
+            pri = (oml * omf + bias)
+        ok = same_cls & (pri >= 0.0) & (oml > 0.0)
+        # border validity
+        if di > 0:
+            ok = ok & (jnp.arange(H)[:, None] < H - di)
+        if dj > 0:
+            ok = ok & (jnp.arange(W)[None, :] < W - dj)
+        return ok
 
-    n_jump = max(1, int(np.ceil(np.log2(max(N, 2)))))
-    comp_ids = jnp.arange(N, dtype=jnp.int32)
+    offs = list(offsets)
+    h_idx = offs.index((0, 1)) if (0, 1) in offs else None
+    v_idx = offs.index((1, 0)) if (1, 0) in offs else None
+    if h_idx is not None or v_idx is not None:
+        if h_idx is not None:
+            e_r = strong_edge(h_idx, 0, 1)     # (i,j)->(i,j+1)
+            link_lr = jnp.roll(e_r, 1, axis=1)  # (i,j) linked to (i,j-1)
+            link_lr = link_lr.at[:, 0].set(False)
+            link_rl = e_r
+        if v_idx is not None:
+            e_d = strong_edge(v_idx, 1, 0)     # (i,j)->(i+1,j)
+            link_td = jnp.roll(e_d, 1, axis=0)
+            link_td = link_td.at[0, :].set(False)
+            link_bu = e_d
+        for _ in range(ccl_sweeps):
+            if h_idx is not None:
+                label = _seg_min_scan(label, link_lr, axis=1)
+                label = _seg_min_scan(label, link_rl, axis=1, reverse=True)
+            if v_idx is not None:
+                label = _seg_min_scan(label, link_td, axis=0)
+                label = _seg_min_scan(label, link_bu, axis=0, reverse=True)
+        # canonicalize: two pointer-jump passes over pixel labels
+        flat = label.reshape(-1)
+        flat = flat[flat]
+        flat = flat[flat]
+        label = flat.reshape(H, W)
+
+    # densify component ids to [0, M)
+    flat = label.reshape(-1)
+    is_rep = jnp.zeros((N,), jnp.int32).at[flat].set(1)
+    dense = (jnp.cumsum(is_rep) - 1).astype(jnp.int32)  # rep pixel -> dense
+    n_comp = dense[-1] + 1
+    comp_of_pix = dense[flat]                  # (N,) in [0, n_comp)
+    overflow = comp_of_pix >= M                # frozen if capacity exceeded
+    comp_clamped = jnp.minimum(comp_of_pix, M - 1)
+    comp2d = comp_clamped.reshape(H, W)
+
+    cls_lp = jax.ops.segment_sum(cls_lp_pix.reshape(N, C), comp_clamped,
+                                 num_segments=M)
+    size = jax.ops.segment_sum(
+        jnp.ones((N,), jnp.int32), comp_clamped, num_segments=M)
+    frozen = jax.ops.segment_max(
+        overflow.astype(jnp.int32), comp_clamped, num_segments=M) > 0
+
+    # ---------------- phase 2: edge compaction ----------------
+    rows = jnp.arange(H)[:, None]
+    cols = jnp.arange(W)[None, :]
+    ea_list, eb_list, eo_list, ext_list = [], [], [], []
+    for oi, (di, dj) in enumerate(offs):
+        b2 = jnp.roll(jnp.roll(comp2d, -di, axis=0), -dj, axis=1)
+        valid = ((rows + di >= 0) & (rows + di < H) &
+                 (cols + dj >= 0) & (cols + dj < W))
+        ext = valid & (comp2d != b2)
+        ea_list.append(comp2d.reshape(-1))
+        eb_list.append(b2.reshape(-1))
+        eo_list.append(log_odds[:, :, oi].reshape(-1))
+        ext_list.append(ext.reshape(-1))
+    ea = jnp.concatenate(ea_list)
+    eb = jnp.concatenate(eb_list)
+    eo = jnp.concatenate(eo_list)
+    ext = jnp.concatenate(ext_list)
+    E_all = int(ea.shape[0])
+    K = E_all if max_edges is None else min(max_edges, E_all)
+    # front-sort external edges, keep K
+    flag = jnp.where(ext, 0, 1).astype(jnp.int32)
+    flag_s, ea, eb, eo = jax.lax.sort((flag, ea, eb, eo), num_keys=1)
+    ea, eb, eo = ea[:K], eb[:K], eo[:K]
+    e_live = flag_s[:K] == 0
+
+    # ---------------- phase 3: Boruvka rounds ----------------
+    comp_ids = jnp.arange(M, dtype=jnp.int32)
+    n_jump_max = max(1, int(np.ceil(np.log2(max(M, 2)))))
 
     def round_body(state):
-        label, cls_lp, size, _, rounds = state
+        ea, eb, total_map, cls_lp, size, frozen, _, rounds = state
         best_lp = jnp.max(cls_lp, axis=1)
 
-        a = label[ep]
-        b = label[eq]
-        lo = jnp.minimum(a, b)
-        hi = jnp.maximum(a, b)
-        is_self = (lo == hi) | (~valid)
-        # dead pairs sort to the end: key (N, N)
-        lo_k = jnp.where(is_self, N, lo)
-        hi_k = jnp.where(is_self, N, hi)
-        lo_s, hi_s, oml_s = jax.lax.sort(
-            (lo_k, hi_k, e_oml), num_keys=2)
+        lo = jnp.minimum(ea, eb)
+        hi = jnp.maximum(ea, eb)
+        live = e_live & (lo != hi) & ~frozen[lo] & ~frozen[hi]
+        lo_k = jnp.where(live, lo, M)
+        hi_k = jnp.where(live, hi, M)
+        lo_s, hi_s, oml_s = jax.lax.sort((lo_k, hi_k, eo), num_keys=2)
 
-        # aggregate oml per (lo, hi) run
         first = jnp.concatenate([
             jnp.ones((1,), bool),
             (lo_s[1:] != lo_s[:-1]) | (hi_s[1:] != hi_s[:-1])])
-        run_id = (jnp.cumsum(first) - 1).astype(jnp.int32)  # (E,), < E
-        run_oml = jax.ops.segment_sum(oml_s, run_id, num_segments=E,
+        run_id = (jnp.cumsum(first) - 1).astype(jnp.int32)
+        run_oml = jax.ops.segment_sum(oml_s, run_id, num_segments=K,
                                       indices_are_sorted=True)
         pair_oml = run_oml[run_id]
 
-        lo_c = jnp.minimum(lo_s, N - 1)  # clamp sentinel for safe gathers
-        hi_c = jnp.minimum(hi_s, N - 1)
-        joint = cls_lp[lo_c] + cls_lp[hi_c]          # (E, C)
+        lo_c = jnp.minimum(lo_s, M - 1)
+        hi_c = jnp.minimum(hi_s, M - 1)
+        joint = cls_lp[lo_c] + cls_lp[hi_c]
         cdl = jnp.max(joint, axis=1) - best_lp[lo_c] - best_lp[hi_c]
         n1 = size[lo_c].astype(f32)
         n2 = size[hi_c].astype(f32)
@@ -155,72 +241,71 @@ def decode_on_device(class_probs, sameness_probs, num_classes, offsets,
             pri = (pair_oml * omf + cdl) / (n1 + n2) + bias
         else:
             pri = (pair_oml * omf + cdl + bias) / (n1 * n2)
-        dead = lo_s >= N
+        dead = lo_s >= M
         pri = jnp.where(dead, NEG_INF, pri)
 
-        # component -> best incident priority (over both endpoint roles)
         comp_best = jnp.maximum(
-            jax.ops.segment_max(pri, lo_c, num_segments=N,
+            jax.ops.segment_max(pri, lo_c, num_segments=M,
                                 indices_are_sorted=True),
-            jax.ops.segment_max(pri, hi_c, num_segments=N))
+            jax.ops.segment_max(pri, hi_c, num_segments=M))
         comp_best = jnp.where(jnp.isfinite(comp_best), comp_best, NEG_INF)
 
-        # partner selection with deterministic tie-break (max partner id);
-        # with this tie-break every cycle in the partner graph is a 2-cycle
         elig_lo = (pri == comp_best[lo_c]) & ~dead
         elig_hi = (pri == comp_best[hi_c]) & ~dead
         partner = jnp.maximum(
             jax.ops.segment_max(jnp.where(elig_lo, hi_c, -1), lo_c,
-                                num_segments=N, indices_are_sorted=True),
+                                num_segments=M, indices_are_sorted=True),
             jax.ops.segment_max(jnp.where(elig_hi, lo_c, -1), hi_c,
-                                num_segments=N))
+                                num_segments=M))
 
         has_pos = comp_best >= 0.0
-        # Boruvka hook: every component with a non-negative best edge points
-        # at its partner; whole trees contract in one round.
         parent = jnp.where(has_pos & (partner >= 0),
                            jnp.maximum(partner, 0), comp_ids)
-        # break 2-cycles: the smaller id becomes the root
         grandparent = parent[parent]
         parent = jnp.where((grandparent == comp_ids) & (comp_ids < parent),
                            comp_ids, parent)
-        # pointer jumping to tree roots
-        def jump(_, p):
-            return p[p]
-        parent = jax.lax.fori_loop(0, n_jump, jump, parent)
+
+        # adaptive pointer jumping (tie-break guarantees 2-cycles only)
+        def jump_cond(s):
+            p, changed, it = s
+            return changed & (it < n_jump_max)
+
+        def jump_body(s):
+            p, _, it = s
+            p2 = p[p]
+            return (p2, jnp.any(p2 != p), it + 1)
+
+        parent, _, _ = jax.lax.while_loop(
+            jump_cond, jump_body, (parent, jnp.asarray(True), 0))
 
         dying = parent != comp_ids
-        target = parent
-        # scatter-add the dying components' stats into their tree root
         contrib = jnp.where(dying[:, None], cls_lp, 0.0)
-        cls_lp = cls_lp.at[target].add(contrib)
+        cls_lp = cls_lp.at[parent].add(contrib)
         size = size + jax.ops.segment_sum(
-            jnp.where(dying, size, 0), target, num_segments=N)
-        # zero dying rows (their mass now lives at the root)
+            jnp.where(dying, size, 0), parent, num_segments=M)
         cls_lp = jnp.where(dying[:, None], 0.0, cls_lp)
         size = jnp.where(dying, 0, size)
 
-        label = parent[label]
+        ea = parent[ea]
+        eb = parent[eb]
+        total_map = parent[total_map]
 
         done = ~jnp.any(dying)
-        return (label, cls_lp, size, done, rounds + 1)
+        return (ea, eb, total_map, cls_lp, size, frozen, done, rounds + 1)
 
     def cond(state):
-        _, _, _, done, rounds = state
-        return (~done) & (rounds < max_rounds)
+        return (~state[-2]) & (state[-1] < max_rounds)
 
-    label0 = jnp.arange(N, dtype=jnp.int32)
-    size0 = jnp.ones((N,), jnp.int32)
-    state = (label0, cls_lp0, size0, jnp.asarray(False), jnp.asarray(0))
-    label, cls_lp, size, _, rounds = jax.lax.while_loop(
+    state = (ea, eb, comp_ids, cls_lp, size, frozen,
+             jnp.asarray(False), jnp.asarray(0))
+    ea, eb, total_map, cls_lp, size, frozen, _, rounds = jax.lax.while_loop(
         cond, round_body, state)
 
+    comp = total_map[comp2d.reshape(-1)].reshape(H, W)
     root_class = jnp.argmax(cls_lp, axis=1).astype(jnp.int32)
-    is_root = jax.ops.segment_max(
-        jnp.ones_like(label), label, num_segments=N) > 0
+    is_root = size > 0
 
     if do_prune:
-        # merge weak components into the biggest background component
         best_lp = jnp.max(cls_lp, axis=1)
         advantage = best_lp - cls_lp[:, 0]
         bg_candidates = is_root & (root_class == 0)
@@ -229,28 +314,28 @@ def decode_on_device(class_probs, sameness_probs, num_classes, offsets,
         weak = is_root & (advantage < prune_threshold) & \
             (comp_ids != bg_root)
         parent = jnp.where(weak, bg_root, comp_ids)
-        label = parent[label]
+        comp = parent[comp.reshape(-1)].reshape(H, W)
         root_class = jnp.where(weak, 0, root_class)
         is_root = is_root & ~weak
 
     is_instance_root = is_root & (root_class != 0)
-    return label.reshape(H, W), root_class, is_instance_root
+    return comp, root_class, is_instance_root
 
 
 @jax.jit
 def relabel_mask(label, root_class, is_instance_root):
     """Compact root labels into instance ids 1..K (0 = background).
 
-    Returns (mask (H, W) int32, inst_class (H*W,) int32) where
+    label: (H, W) component ids indexing into root_class (M,).
+    Returns (mask (H, W) int32, inst_class (M,) int32) where
     inst_class[k-1] is the class of instance k (padded with -1)."""
     H, W = label.shape
-    N = H * W
+    M = root_class.shape[0]
     inst_id = jnp.cumsum(is_instance_root.astype(jnp.int32))
     ids = jnp.where(is_instance_root, inst_id, 0)  # root -> 1..K
     mask = ids[label.reshape(-1)].reshape(H, W)
-    # inst_class[k-1] = class of the root with id k
-    k = jnp.where(is_instance_root, inst_id - 1, N - 1)
-    inst_class = jnp.full((N,), -1, jnp.int32)
+    k = jnp.where(is_instance_root, inst_id - 1, M - 1)
+    inst_class = jnp.full((M,), -1, jnp.int32)
     inst_class = inst_class.at[k].set(
         jnp.where(is_instance_root, root_class,
                   jnp.full_like(root_class, -1)))
@@ -261,7 +346,8 @@ def run_segmentation_device(class_probs, sameness_probs, num_classes,
                             offsets, same_different_bias=0.0,
                             object_merge_factor=1.0, merge_logprob_bias=0.0,
                             den_mode="sum", do_prune=False,
-                            prune_threshold=200.0, max_rounds=64):
+                            prune_threshold=200.0, max_rounds=48,
+                            max_components=None, max_edges=None):
     """Host-friendly wrapper with the csegment.run_segmentation signature:
     accepts channel-first (C, H, W)/(O, H, W) numpy arrays and returns
     (mask, object_class list)."""
@@ -273,7 +359,8 @@ def run_segmentation_device(class_probs, sameness_probs, num_classes,
         object_merge_factor=object_merge_factor,
         merge_logprob_bias=merge_logprob_bias, den_mode=den_mode,
         do_prune=do_prune, prune_threshold=prune_threshold,
-        max_rounds=max_rounds)
+        max_rounds=max_rounds, max_components=max_components,
+        max_edges=max_edges)
     mask, inst_class = relabel_mask(label, root_class, is_inst)
     mask = np.asarray(mask)
     inst_class = np.asarray(inst_class)
