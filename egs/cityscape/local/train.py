@@ -1,0 +1,194 @@
+#!/usr/bin/env python3
+"""Cityscapes instance-segmentation training (TPU / JAX).
+
+CLI parity with reference `egs/cityscape/local/train.py:21-85` — same flags
+(dir, --epochs, --start-epoch, --resume, --batch-size, --mode, --crop-size,
+--scale, --loss, --alpha, --lr, --momentum, --milestones, --arch,
+--num-classes, --num-offsets, --nesterov, --weight-decay, --train-img,
+--val-img, --train-ann, --val-ann, --limits, --tensorboard, --pretrain,
+--crop, --score) — running on the mergenet_tpu stack: pjit data-parallel
+train step, optax SGD + MultiStepLR, orbax checkpoints with the offset list
+persisted (the inference stage reads offsets from the checkpoint).
+"""
+
+import argparse
+import os
+import random
+
+import numpy as np
+
+import jax
+
+from mergenet_tpu.models import get_model, init_model, param_count
+from mergenet_tpu.data import AllDataset, ClassDataset, OffsetDataset, \
+    DataLoader
+from mergenet_tpu.ops.losses import get_loss_fn
+from mergenet_tpu.parallel import (make_mesh, make_optimizer,
+                                   create_train_state, build_train_step,
+                                   build_eval_step)
+from mergenet_tpu.utils import train, validate, sample, generate_offsets
+from mergenet_tpu.utils.checkpoint import save_checkpoint, load_checkpoint
+from mergenet_tpu.utils import logging as tb
+
+parser = argparse.ArgumentParser(
+    description="TPU cityscape instance segmentation setup")
+parser.add_argument("dir", type=str,
+                    help="directory of output models and logs")
+parser.add_argument("--epochs", default=10, type=int)
+parser.add_argument("--start-epoch", default=0, type=int)
+parser.add_argument("--resume", default="", type=str,
+                    help="path to latest checkpoint dir (default: none)")
+parser.add_argument("--print-freq", "-p", default=10, type=int)
+parser.add_argument("--log-freq", default=1000, type=int)
+parser.add_argument("--visual-freq", default=0, type=int)
+parser.add_argument("-b", "--batch-size", default=16, type=int)
+parser.add_argument("--mode", default="all", type=str,
+                    choices=["all", "class", "offset"])
+parser.add_argument("--crop-size", default=None, type=int)
+parser.add_argument("--scale", default=1, type=int)
+parser.add_argument("--loss", default="bce", type=str,
+                    choices=["bce", "mbce", "dice", "ce"])
+parser.add_argument("--alpha", default=1, type=float,
+                    help="weight of offset losses")
+parser.add_argument("--lr", "--learning-rate", default=0.01, type=float)
+parser.add_argument("--momentum", default=0.9, type=float)
+parser.add_argument("--milestones", default=None, nargs="+", type=int)
+parser.add_argument("--arch", default="pspfpnet", type=str)
+parser.add_argument("--num-classes", default=9, type=int)
+parser.add_argument("--num-offsets", default=10, type=int)
+parser.add_argument("--nesterov", default=True, type=bool)
+parser.add_argument("--weight-decay", "--wd", default=1e-4, type=float)
+parser.add_argument("--train-img", default="data/train", type=str)
+parser.add_argument("--val-img", default="data/val", type=str)
+parser.add_argument(
+    "--train-ann", type=str,
+    default="data/annotations/instancesonly_filtered_gtFine_train.json")
+parser.add_argument(
+    "--val-ann", type=str,
+    default="data/annotations/instancesonly_filtered_gtFine_val.json")
+parser.add_argument("--limits", default=None, type=int)
+parser.add_argument("--tensorboard", action="store_true")
+parser.add_argument("--pretrain", action="store_true")
+parser.add_argument("--crop", action="store_true")
+parser.add_argument("--score", action="store_true")
+
+best_iou = float('-inf')
+random.seed(0)
+
+
+def main():
+    global best_iou
+    args = parser.parse_args()
+    if args.tensorboard:
+        print("Using tensorboard")
+        tb.configure(args.dir)
+
+    num_classes = args.num_classes
+    num_offsets = args.num_offsets
+    if args.mode == "offset":
+        num_classes = 0
+    if args.mode == "class":
+        num_offsets = 0
+
+    model = get_model(num_classes, num_offsets, args.arch, args.pretrain)
+
+    # datasets
+    if args.mode == "all":
+        offset_list = generate_offsets(80 / args.scale, args.num_offsets)
+        trainset = AllDataset(args.train_img, args.train_ann, num_classes,
+                              offset_list, scale=args.scale, crop=args.crop,
+                              crop_size=args.crop_size, limits=args.limits)
+        valset = AllDataset(args.val_img, args.val_ann, num_classes,
+                            offset_list, scale=args.scale, mode="train",
+                            limits=args.limits)
+        class_nms = trainset.catNms
+    elif args.mode == "class":
+        offset_list = None
+        trainset = ClassDataset(args.train_img, args.train_ann,
+                                scale=args.scale, crop=args.crop,
+                                crop_size=args.crop_size, limits=args.limits)
+        valset = ClassDataset(args.val_img, args.val_ann, scale=args.scale,
+                              mode="train", limits=args.limits)
+        class_nms = trainset.catNms
+    else:  # offset
+        offset_list = generate_offsets(80 / args.scale, args.num_offsets)
+        print("offsets are: {}".format(offset_list))
+        trainset = OffsetDataset(args.train_img, args.train_ann, offset_list,
+                                 scale=args.scale, crop=args.crop,
+                                 crop_size=args.crop_size,
+                                 limits=args.limits)
+        valset = OffsetDataset(args.val_img, args.val_ann, offset_list,
+                               scale=args.scale, mode="train",
+                               limits=args.limits)
+        class_nms = None
+
+    trainloader = DataLoader(trainset, batch_size=args.batch_size,
+                             shuffle=True, drop_last=True)
+    valloader = DataLoader(valset, batch_size=min(4, args.batch_size))
+    print("Training samples: {0}\nValidation samples: {1}".format(
+        len(trainset), len(valset)))
+
+    # optimizer + state
+    steps_per_epoch = max(1, len(trainset) // args.batch_size)
+    tx = make_optimizer(lr=args.lr, momentum=args.momentum,
+                        nesterov=args.nesterov,
+                        weight_decay=args.weight_decay,
+                        milestones=args.milestones, gamma=0.2,
+                        steps_per_epoch=steps_per_epoch)
+    init_hw = args.crop_size if args.crop_size else 128
+    state = create_train_state(model, tx, jax.random.PRNGKey(0),
+                               (1, init_hw, init_hw, 3))
+    print("Number of model parameters: {}".format(
+        param_count(state.params)))
+
+    if args.resume:
+        state, meta = load_checkpoint(args.resume, state)
+        args.start_epoch = meta.get("epoch", args.start_epoch) or 0
+        best_iou = meta.get("best_iou") or float('-inf')
+        if meta.get("offsets"):
+            offset_list = meta["offsets"]
+            print("offsets are: {}".format(offset_list))
+        print("=> loaded checkpoint '{}' (epoch {})".format(
+            args.resume, args.start_epoch))
+
+    mesh = make_mesh() if len(jax.devices()) > 1 else None
+    loss_fn = get_loss_fn(args.loss)
+    train_step = build_train_step(
+        num_classes, num_offsets, alpha=args.alpha,
+        criterion_cls=get_loss_fn("bce") if num_classes else None,
+        criterion_ofs=loss_fn if num_offsets else None, mesh=mesh)
+    eval_step = build_eval_step(
+        num_classes, num_offsets, alpha=args.alpha,
+        criterion_cls=get_loss_fn("bce") if num_classes else None,
+        criterion_ofs=loss_fn if num_offsets else None, mesh=mesh)
+
+    iterations = args.start_epoch * steps_per_epoch
+    for epoch in range(args.start_epoch, args.epochs):
+        state, iterations = train(
+            trainloader, state, train_step, args.batch_size, epoch,
+            iterations, num_classes=num_classes, class_nms=class_nms,
+            offset_list=offset_list, print_freq=args.print_freq,
+            log_freq=args.log_freq, tensorboard=args.tensorboard,
+            score=args.score, eval_step=eval_step)
+        val_iou = validate(
+            valloader, state, eval_step, args.batch_size, epoch, iterations,
+            num_classes=num_classes, class_nms=class_nms,
+            offset_list=offset_list, print_freq=args.print_freq,
+            log_freq=args.log_freq, tensorboard=args.tensorboard,
+            score=args.score)
+        if args.visual_freq > 0 and epoch % args.visual_freq == 0:
+            outdir = "{}/imgs/{}".format(args.dir, epoch)
+            os.makedirs(outdir, exist_ok=True)
+            sample(state, eval_step, valloader, outdir, num_classes,
+                   num_offsets)
+        is_best = val_iou > best_iou
+        best_iou = max(val_iou, best_iou)
+        save_checkpoint(args.dir, state, is_best, epoch=epoch + 1,
+                        best_iou=float(best_iou),
+                        offsets=offset_list if args.mode != "class"
+                        else None)
+    print("Best validation mean iou: ", best_iou)
+
+
+if __name__ == "__main__":
+    main()

@@ -23,7 +23,7 @@ VALID_ARCHS = (
     ["fcn{}_resnet{}".format(x, y)
      for x in [8, 16, 32] for y in [18, 34, 50, 101, 152]]
     + ["fcn{}_vgg16".format(x) for x in [8, 16, 32]]
-    + ["unet", "pspnet", "pspfpnet", "upernet"]
+    + ["unet", "unet_small", "pspnet", "pspfpnet", "upernet"]
 )
 
 
@@ -40,6 +40,10 @@ def get_model(num_classes, num_offsets, arch, pretrain=False,
     num_outputs = num_classes + num_offsets
     if arch == "unet":
         model = UNet(num_classes, num_offsets, axis_name=axis_name)
+    elif arch == "unet_small":
+        # lightweight variant for smoke tests and quick experiments
+        model = UNet(num_classes, num_offsets, depth=3, start_filts=8,
+                     axis_name=axis_name)
     elif "vgg16" in arch:
         scale = int(arch.split("_")[0][3:])
         model = FCNVGG16(num_outputs, scale=scale, axis_name=axis_name)

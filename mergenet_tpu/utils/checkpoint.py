@@ -54,9 +54,17 @@ def save_checkpoint(dir, state, is_best, offsets=None, epoch=None,
 def load_checkpoint(dir, state, filename="checkpoint"):
     """Restore a checkpoint into `state`; returns (state, meta dict).
 
-    meta contains 'epoch', 'best_iou', and 'offsets' (list of (di, dj))."""
+    `dir` may be either the experiment directory (the `filename` checkpoint
+    inside it is loaded) or a direct path to a checkpoint directory such as
+    `<exp>/model_best`.  meta contains 'epoch', 'best_iou', and 'offsets'.
+    """
     ocp = _ocp()
     path = os.path.abspath(os.path.join(dir, filename))
+    meta_path = os.path.join(dir, filename + ".meta.json")
+    if not os.path.exists(path):
+        # `dir` is itself a checkpoint directory
+        path = os.path.abspath(dir)
+        meta_path = path + ".meta.json"
     target = {
         "params": jax.device_get(state.params),
         "batch_stats": jax.device_get(state.batch_stats),
@@ -69,7 +77,6 @@ def load_checkpoint(dir, state, filename="checkpoint"):
         params=restored["params"], batch_stats=restored["batch_stats"],
         opt_state=restored["opt_state"],
         step=jnp.asarray(restored["step"], jnp.int32))
-    meta_path = os.path.join(dir, filename + ".meta.json")
     meta = {}
     if os.path.exists(meta_path):
         with open(meta_path) as f:

@@ -1,0 +1,126 @@
+"""End-to-end recipe test: drive the actual egs/cityscape CLI stages
+(train class + offset models -> class_infer -> offset_infer -> segment ->
+evaluate) on a tiny synthetic COCO dataset, exactly as a user would."""
+
+import json
+import os
+import pickle
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from mergenet_tpu.data import rle as maskUtils
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+EGS = os.path.join(REPO, "egs", "cityscape", "local")
+
+
+def _env():
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO + ":" + env.get("PYTHONPATH", "")
+    env["JAX_PLATFORMS"] = "cpu"
+    flags = env.get("XLA_FLAGS", "")
+    if "host_platform_device_count" not in flags:
+        env["XLA_FLAGS"] = (
+            flags + " --xla_force_host_platform_device_count=8").strip()
+    return env
+
+
+def _run(script, *argv, cwd=None):
+    cmd = [sys.executable, os.path.join(EGS, script)] + list(argv)
+    r = subprocess.run(cmd, env=_env(), cwd=cwd, capture_output=True,
+                       text=True, timeout=1200)
+    if r.returncode != 0:
+        raise AssertionError("{} failed:\nSTDOUT:{}\nSTDERR:{}".format(
+            script, r.stdout[-4000:], r.stderr[-4000:]))
+    return r.stdout
+
+
+@pytest.fixture(scope="module")
+def tiny_dataset(tmp_path_factory):
+    """Two 32x48 images, each with two rectangles of distinct classes."""
+    root = str(tmp_path_factory.mktemp("cityscape_tiny"))
+    import cv2
+    H, W = 32, 48
+    imgs, anns = [], []
+    cats = [{"id": 11, "name": "car"}, {"id": 12, "name": "person"}]
+    ann_id = 1
+    rng = np.random.RandomState(0)
+    for i in range(2):
+        img = np.full((H, W, 3), 40, np.uint8)
+        boxes = [(4, 4, 12, 10, 11), (26, 16, 14, 12, 12)]
+        for x, y, w, h, cat in boxes:
+            color = (220, 60, 60) if cat == 11 else (60, 60, 220)
+            img[y:y + h, x:x + w] = color
+            m = np.zeros((H, W), np.uint8)
+            m[y:y + h, x:x + w] = 1
+            r = maskUtils.encode(m)
+            anns.append({
+                "id": ann_id, "image_id": 100 + i, "category_id": cat,
+                "segmentation": {"size": r["size"],
+                                 "counts": r["counts"].decode("ascii")},
+                "area": int(m.sum()), "iscrowd": 0,
+                "bbox": [x, y, w, h]})
+            ann_id += 1
+        noisy = np.clip(img.astype(int) +
+                        rng.randint(-10, 10, img.shape), 0, 255)
+        cv2.imwrite(os.path.join(root, "img{}.png".format(i)),
+                    cv2.cvtColor(noisy.astype(np.uint8),
+                                 cv2.COLOR_RGB2BGR))
+        imgs.append({"id": 100 + i, "file_name": "img{}.png".format(i),
+                     "height": H, "width": W})
+    ann_path = os.path.join(root, "ann.json")
+    with open(ann_path, "w") as f:
+        json.dump({"images": imgs, "annotations": anns,
+                   "categories": cats}, f)
+    return root, ann_path
+
+
+@pytest.mark.slow
+def test_full_cityscape_pipeline(tiny_dataset, tmp_path):
+    root, ann = tiny_dataset
+    exp = str(tmp_path)
+    cls_dir = os.path.join(exp, "cls")
+    ofs_dir = os.path.join(exp, "ofs")
+    common = ["--train-img", root, "--val-img", root,
+              "--train-ann", ann, "--val-ann", ann,
+              "--num-classes", "3", "--arch", "unet_small",
+              "--batch-size", "2", "--epochs", "1", "--lr", "0.02"]
+
+    # 1. train a class-only and an offset-only model (one epoch each)
+    _run("train.py", cls_dir, "--mode", "class", *common)
+    _run("train.py", ofs_dir, "--mode", "offset", "--num-offsets", "3",
+         *common)
+    assert os.path.isdir(os.path.join(cls_dir, "checkpoint"))
+    assert os.path.isdir(os.path.join(ofs_dir, "model_best"))
+
+    # 2. inference stages write per-image npys
+    _run("class_infer.py", "--dir", cls_dir, "--model",
+         os.path.join(cls_dir, "model_best"), "--img", root, "--ann", ann,
+         "--arch", "unet_small", "--num-classes", "3", "--score")
+    _run("offset_infer.py", "--dir", ofs_dir, "--model",
+         os.path.join(ofs_dir, "model_best"), "--img", root, "--ann", ann,
+         "--arch", "unet_small", "--num-offsets", "3", "--score")
+    assert os.path.exists(os.path.join(cls_dir, "npy", "100.class.npy"))
+    assert os.path.exists(os.path.join(ofs_dir, "npy", "101.offset.npy"))
+    cp = np.load(os.path.join(cls_dir, "npy", "100.class.npy"))
+    assert cp.shape == (3, 32, 48)
+
+    # 3. segment (device decoder) at native size
+    _run("segment.py", "--dir", exp, "--class-dir", cls_dir,
+         "--offset-dir", ofs_dir, "--img", root, "--ann", ann,
+         "--num-classes", "3", "--num-offsets", "3",
+         "--seg-size", "48", "32", "--decoder", "device")
+    pkl_dir = os.path.join(exp, "segment", "pkl")
+    assert os.path.exists(os.path.join(pkl_dir, "100.pkl"))
+    with open(os.path.join(pkl_dir, "100.pkl"), "rb") as f:
+        result = pickle.load(f)
+    assert isinstance(result, list)
+
+    # 4. evaluate runs COCOeval and prints an AP table (AP value itself is
+    # meaningless after one epoch; the pipeline contract is what's tested)
+    out = _run("evaluate.py", "--segment-dir",
+               os.path.join(exp, "segment"), "--val-ann", ann)
+    assert "Average Precision" in out
