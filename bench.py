@@ -36,10 +36,15 @@ def main():
     rng = jax.random.PRNGKey(0)
     params, batch_stats = init_model(model, rng, (1, 256, 256, 3))
     variables = {"params": params, "batch_stats": batch_stats}
+    # bf16 inference: weights + activations on the MXU in bf16, decode f32
+    variables = jax.tree_util.tree_map(
+        lambda a: a.astype(jnp.bfloat16)
+        if a.dtype == jnp.float32 else a, variables)
 
     @jax.jit
     def forward_and_decode(variables, x):
-        logits = model.apply(variables, x, train=False)
+        logits = model.apply(variables, x.astype(jnp.bfloat16),
+                             train=False).astype(jnp.float32)
         probs = jax.nn.sigmoid(logits)
         # decode at reduced size (reference decodes at 512x1024 and
         # upsamples the mask)
