@@ -202,10 +202,13 @@ def decode_on_device(class_probs, sameness_probs, num_classes, offsets,
     ext = jnp.concatenate(ext_list)
     E_all = int(ea.shape[0])
     K = E_all if max_edges is None else min(max_edges, E_all)
-    # front-sort external edges, keep K
+    # front-sort external edge INDICES (2-array sort instead of carrying
+    # three payloads through the full E-sized sort), then gather the kept K
     flag = jnp.where(ext, 0, 1).astype(jnp.int32)
-    flag_s, ea, eb, eo = jax.lax.sort((flag, ea, eb, eo), num_keys=1)
-    ea, eb, eo = ea[:K], eb[:K], eo[:K]
+    eidx = jnp.arange(E_all, dtype=jnp.int32)
+    flag_s, kept = jax.lax.sort((flag, eidx), num_keys=1)
+    kept = kept[:K]
+    ea, eb, eo = ea[kept], eb[kept], eo[kept]
     e_live = flag_s[:K] == 0
 
     # ---------------- phase 3: Boruvka rounds ----------------
@@ -340,6 +343,17 @@ def relabel_mask(label, root_class, is_instance_root):
         jnp.where(is_instance_root, root_class,
                   jnp.full_like(root_class, -1)))
     return mask, inst_class
+
+
+def decode_on_device_batch(class_probs, sameness_probs, num_classes,
+                           offsets, **kw):
+    """Batched decode: (B, H, W, C)/(B, H, W, O) -> (masks, inst_classes)
+    via vmap — one device dispatch for the whole batch (amortizes the
+    per-call host/relay overhead on top of per-image compute)."""
+    decode = jax.vmap(lambda c, s: decode_on_device(
+        c, s, num_classes, tuple(offsets), **kw))
+    labels, root_classes, is_inst = decode(class_probs, sameness_probs)
+    return jax.vmap(relabel_mask)(labels, root_classes, is_inst)
 
 
 def run_segmentation_device(class_probs, sameness_probs, num_classes,

@@ -336,6 +336,22 @@ class ObjectSegmenter:
 
     # -- debugging ---------------------------------------------------------
 
+    def show_stats(self):
+        """Print object/record/queue statistics (reference
+        segmenter.py:297-310)."""
+        print("Total logprob: {:.3f}".format(self.compute_total_logprob()))
+        print("Total number of objects: {}".format(self.n_alive))
+        print("Total number of adjacency records: {}".format(
+            len(self.records)))
+        print("Total number of records in the queue: {}".format(
+            len(self.queue)))
+        sizes = sorted((int(self.obj_size[r]) for r in self._alive_roots()),
+                       reverse=True)
+        print("Top 10 biggest objs (#pixels): {}".format(sizes[:10]))
+        adj = sorted((len(self.nbrs[r]) for r in self._alive_roots()),
+                     reverse=True)
+        print("Top 10 biggest objs (adj_list size): {}".format(adj[:10]))
+
     def compute_total_logprob(self):
         """Total objective from incrementally-maintained stats."""
         roots = self._alive_roots()
