@@ -28,8 +28,12 @@ VALID_ARCHS = (
 
 
 def get_model(num_classes, num_offsets, arch, pretrain=False,
-              axis_name=None, verbose=True):
+              axis_name=None, dtype=None, verbose=True):
     """Build a model by arch string; returns a Flax module.
+
+    `dtype` selects the compute precision (e.g. jnp.bfloat16 for
+    mixed-precision training — params and BN stats stay float32, logits are
+    cast back to float32).
 
     `pretrain` is accepted for API parity; pretrained-weight import is done
     separately via `mergenet_tpu.utils.checkpoint.import_torch_checkpoint`.
@@ -39,28 +43,31 @@ def get_model(num_classes, num_offsets, arch, pretrain=False,
             VALID_ARCHS, arch))
     num_outputs = num_classes + num_offsets
     if arch == "unet":
-        model = UNet(num_classes, num_offsets, axis_name=axis_name)
+        model = UNet(num_classes, num_offsets, axis_name=axis_name,
+                     dtype=dtype)
     elif arch == "unet_small":
         # lightweight variant for smoke tests and quick experiments
         model = UNet(num_classes, num_offsets, depth=3, start_filts=8,
-                     axis_name=axis_name)
+                     axis_name=axis_name, dtype=dtype)
     elif "vgg16" in arch:
         scale = int(arch.split("_")[0][3:])
-        model = FCNVGG16(num_outputs, scale=scale, axis_name=axis_name)
+        model = FCNVGG16(num_outputs, scale=scale, axis_name=axis_name,
+                         dtype=dtype)
     elif arch.startswith("fcn"):
         names = arch.split("_")
         scale = int(names[0][3:])
         layer = int(names[1][6:])
         model = FCNResNet(num_outputs, scale=scale, layer=layer,
-                          axis_name=axis_name)
+                          axis_name=axis_name, dtype=dtype)
     elif "fpnet" in arch:
         model = PSPFPNet(num_outputs, layer=50, fpn_dim=256,
-                         axis_name=axis_name)
+                         axis_name=axis_name, dtype=dtype)
     elif arch == "pspnet":
-        model = PSPNet(num_outputs, layer=101, axis_name=axis_name)
+        model = PSPNet(num_outputs, layer=101, axis_name=axis_name,
+                       dtype=dtype)
     elif arch == "upernet":
         model = UperNet(num_outputs, layer=50, fpn_dim=512,
-                        axis_name=axis_name)
+                        axis_name=axis_name, dtype=dtype)
     return model
 
 

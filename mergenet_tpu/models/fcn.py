@@ -7,6 +7,7 @@ to input resolution.  NHWC: (N, H, W, 3) -> (N, H, W, C+O) logits.
 
 from typing import Optional
 
+import jax.numpy as jnp
 from flax import linen as nn
 
 from .layers import resize_bilinear
@@ -19,6 +20,7 @@ class FCNResNet(nn.Module):
     scale: int = 8    # 8, 16 or 32
     layer: int = 18
     axis_name: Optional[str] = None
+    dtype: Optional[str] = None
 
     @nn.compact
     def __call__(self, x, train: bool = True):
@@ -26,40 +28,42 @@ class FCNResNet(nn.Module):
             raise ValueError("scale must be 8, 16 or 32")
         input_size = x.shape[1:3]
         c2, c3, c4, c5 = ResNetBackbone(
-            layer=self.layer, axis_name=self.axis_name)(x, train)
-        score = nn.Conv(self.num_outputs, (1, 1), name="score_32s")(c5)
+            layer=self.layer, axis_name=self.axis_name,
+            dtype=self.dtype)(x, train)
+        score = nn.Conv(self.num_outputs, (1, 1), name="score_32s", dtype=self.dtype)(c5)
         if self.scale <= 16:
             score_16s = nn.Conv(self.num_outputs, (1, 1),
-                                name="score_16s")(c4)
+                                name="score_16s", dtype=self.dtype)(c4)
             score = score_16s + resize_bilinear(score, c4.shape[1:3])
         if self.scale <= 8:
-            score_8s = nn.Conv(self.num_outputs, (1, 1), name="score_8s")(c3)
+            score_8s = nn.Conv(self.num_outputs, (1, 1), name="score_8s", dtype=self.dtype)(c3)
             score = score_8s + resize_bilinear(score, c3.shape[1:3])
-        return resize_bilinear(score, input_size)
+        return resize_bilinear(score, input_size).astype(jnp.float32)
 
 
 class FCNVGG16(nn.Module):
     num_outputs: int
     scale: int = 8
     axis_name: Optional[str] = None
+    dtype: Optional[str] = None
 
     @nn.compact
     def __call__(self, x, train: bool = True):
         if self.scale not in (8, 16, 32):
             raise ValueError("scale must be 8, 16 or 32")
         input_size = x.shape[1:3]
-        b1, b2, b3, b4, b5 = VGG16Backbone()(x, train)
+        b1, b2, b3, b4, b5 = VGG16Backbone(dtype=self.dtype)(x, train)
         # fc-style head on the /32 features (reference fcn.py:98-104)
-        y = nn.relu(nn.Conv(4096, (7, 7), padding="SAME")(b5))
+        y = nn.relu(nn.Conv(4096, (7, 7), padding="SAME", dtype=self.dtype)(b5))
         y = nn.Dropout(0.5, deterministic=not train)(y)
-        y = nn.relu(nn.Conv(4096, (1, 1))(y))
+        y = nn.relu(nn.Conv(4096, (1, 1), dtype=self.dtype)(y))
         y = nn.Dropout(0.5, deterministic=not train)(y)
-        score = nn.Conv(self.num_outputs, (1, 1), name="score_32s")(y)
+        score = nn.Conv(self.num_outputs, (1, 1), name="score_32s", dtype=self.dtype)(y)
         if self.scale <= 16:
             score_16s = nn.Conv(self.num_outputs, (1, 1),
-                                name="score_16s")(b4)
+                                name="score_16s", dtype=self.dtype)(b4)
             score = score_16s + resize_bilinear(score, b4.shape[1:3])
         if self.scale <= 8:
-            score_8s = nn.Conv(self.num_outputs, (1, 1), name="score_8s")(b3)
+            score_8s = nn.Conv(self.num_outputs, (1, 1), name="score_8s", dtype=self.dtype)(b3)
             score = score_8s + resize_bilinear(score, b3.shape[1:3])
-        return resize_bilinear(score, input_size)
+        return resize_bilinear(score, input_size).astype(jnp.float32)

@@ -29,6 +29,7 @@ class SyncBatchNorm(nn.Module):
     momentum: float = 0.9
     epsilon: float = 1e-5
     axis_name: Optional[str] = None
+    dtype: Optional[str] = None  # compute dtype; params/stats stay float32
 
     @nn.compact
     def __call__(self, x, train: bool = True):
@@ -37,6 +38,7 @@ class SyncBatchNorm(nn.Module):
             momentum=self.momentum,
             epsilon=self.epsilon,
             axis_name=self.axis_name,
+            dtype=self.dtype,
         )(x)
 
 
@@ -50,14 +52,17 @@ class ConvBNRelu(nn.Module):
     use_bias: bool = False
     axis_name: Optional[str] = None
     relu: bool = True
+    dtype: Optional[str] = None
 
     @nn.compact
     def __call__(self, x, train: bool = True):
         x = nn.Conv(self.features, (self.kernel, self.kernel),
                     strides=(self.stride, self.stride),
                     kernel_dilation=(self.dilation, self.dilation),
-                    padding="SAME", use_bias=self.use_bias)(x)
-        x = SyncBatchNorm(axis_name=self.axis_name)(x, train)
+                    padding="SAME", use_bias=self.use_bias,
+                    dtype=self.dtype)(x)
+        x = SyncBatchNorm(axis_name=self.axis_name,
+                          dtype=self.dtype)(x, train)
         if self.relu:
             x = nn.relu(x)
         return x

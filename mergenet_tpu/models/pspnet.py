@@ -26,6 +26,7 @@ class PyramidPoolingModule(nn.Module):
 
     pool_sizes: Tuple[int, ...] = (1, 2, 3, 6)
     axis_name: Optional[str] = None
+    dtype: Optional[str] = None
 
     @nn.compact
     def __call__(self, x, train: bool = True):
@@ -35,8 +36,10 @@ class PyramidPoolingModule(nn.Module):
         out = [x]
         for s in self.pool_sizes:
             y = adaptive_avg_pool(x, s)
-            y = nn.Conv(out_dim, (1, 1), use_bias=False)(y)
-            y = nn.relu(SyncBatchNorm(axis_name=self.axis_name)(y, train))
+            y = nn.Conv(out_dim, (1, 1), use_bias=False,
+                        dtype=self.dtype)(y)
+            y = nn.relu(SyncBatchNorm(axis_name=self.axis_name,
+                                      dtype=self.dtype)(y, train))
             out.append(resize_bilinear(y, size))
         return jnp.concatenate(out, axis=-1)
 
@@ -48,32 +51,38 @@ class FPNModule(nn.Module):
     num_outputs: int
     fpn_dim: int = 256
     axis_name: Optional[str] = None
+    dtype: Optional[str] = None
 
     @nn.compact
     def __call__(self, down_features, train: bool = True):
         n = len(down_features)
         # lateral 1x1s
         laterals = [nn.Conv(self.fpn_dim, (1, 1), use_bias=False,
-                            name="fpn_in_{}".format(i))(f)
+                            name="fpn_in_{}".format(i),
+                            dtype=self.dtype)(f)
                     for i, f in enumerate(down_features)]
         # top-down accumulation
         last = laterals[-1]
         fpn_features = [nn.Conv(self.fpn_dim, (3, 3), padding="SAME",
-                                name="fpn_out_{}".format(n - 1))(last)]
+                                name="fpn_out_{}".format(n - 1),
+                                dtype=self.dtype)(last)]
         for i in reversed(range(n - 1)):
             last = laterals[i] + resize_bilinear(last,
                                                  laterals[i].shape[1:3])
             fpn_features.append(
                 nn.Conv(self.fpn_dim, (3, 3), padding="SAME",
-                        name="fpn_out_{}".format(i))(last))
+                        name="fpn_out_{}".format(i),
+                        dtype=self.dtype)(last))
         fpn_features.reverse()  # [P2 .. P5]
         output_size = fpn_features[0].shape[1:3]
         fusion = [fpn_features[0]] + [
             resize_bilinear(f, output_size) for f in fpn_features[1:]]
         x = jnp.concatenate(fusion, axis=-1)
-        x = nn.Conv(self.fpn_dim, (3, 3), padding="SAME")(x)
-        x = nn.relu(SyncBatchNorm(axis_name=self.axis_name)(x, train))
-        x = nn.Conv(self.num_outputs, (1, 1))(x)
+        x = nn.Conv(self.fpn_dim, (3, 3), padding="SAME",
+                    dtype=self.dtype)(x)
+        x = nn.relu(SyncBatchNorm(axis_name=self.axis_name,
+                                      dtype=self.dtype)(x, train))
+        x = nn.Conv(self.num_outputs, (1, 1), dtype=self.dtype)(x)
         return x
 
 
@@ -86,18 +95,21 @@ class PSPFPNet(nn.Module):
     fpn_dim: int = 256
     pool_sizes: Tuple[int, ...] = (1, 2, 3, 6)
     axis_name: Optional[str] = None
+    dtype: Optional[str] = None
 
     @nn.compact
     def __call__(self, x, train: bool = True):
         input_size = x.shape[1:3]
         feats = ResNetBackbone(layer=self.layer,
-                               axis_name=self.axis_name)(x, train)
+                               axis_name=self.axis_name,
+                               dtype=self.dtype)(x, train)
         c2, c3, c4, c5 = feats
         c5 = PyramidPoolingModule(pool_sizes=self.pool_sizes,
-                                  axis_name=self.axis_name)(c5, train)
+                                  axis_name=self.axis_name,
+                                  dtype=self.dtype)(c5, train)
         y = FPNModule(self.num_outputs, fpn_dim=self.fpn_dim,
-                      axis_name=self.axis_name)((c2, c3, c4, c5), train)
-        return resize_bilinear(y, input_size)
+                      axis_name=self.axis_name, dtype=self.dtype)((c2, c3, c4, c5), train)
+        return resize_bilinear(y, input_size).astype(jnp.float32)
 
 
 class UperNet(nn.Module):
@@ -109,18 +121,21 @@ class UperNet(nn.Module):
     fpn_dim: int = 512
     pool_sizes: Tuple[int, ...] = (1, 2, 3, 6)
     axis_name: Optional[str] = None
+    dtype: Optional[str] = None
 
     @nn.compact
     def __call__(self, x, train: bool = True):
         input_size = x.shape[1:3]
         feats = ResNetBackbone(layer=self.layer, deep_stem=True,
-                               axis_name=self.axis_name)(x, train)
+                               axis_name=self.axis_name,
+                               dtype=self.dtype)(x, train)
         c2, c3, c4, c5 = feats
         c5 = PyramidPoolingModule(pool_sizes=self.pool_sizes,
-                                  axis_name=self.axis_name)(c5, train)
+                                  axis_name=self.axis_name,
+                                  dtype=self.dtype)(c5, train)
         y = FPNModule(self.num_outputs, fpn_dim=self.fpn_dim,
-                      axis_name=self.axis_name)((c2, c3, c4, c5), train)
-        return resize_bilinear(y, input_size)
+                      axis_name=self.axis_name, dtype=self.dtype)((c2, c3, c4, c5), train)
+        return resize_bilinear(y, input_size).astype(jnp.float32)
 
 
 class PSPNet(nn.Module):
@@ -135,6 +150,7 @@ class PSPNet(nn.Module):
     layer: int = 101
     pool_sizes: Tuple[int, ...] = (1, 2, 3, 6)
     axis_name: Optional[str] = None
+    dtype: Optional[str] = None
 
     @nn.compact
     def __call__(self, x, train: bool = True, with_aux: bool = False):
@@ -144,22 +160,27 @@ class PSPNet(nn.Module):
             deep_stem=True,
             stage_strides=(1, 2, 1, 1),
             stage_dilations=(1, 1, 2, 4),
-            axis_name=self.axis_name)(x, train)
+            axis_name=self.axis_name, dtype=self.dtype)(x, train)
         _, _, c4, c5 = feats
         y = PyramidPoolingModule(pool_sizes=self.pool_sizes,
-                                 axis_name=self.axis_name)(c5, train)
-        y = nn.Conv(512, (3, 3), padding="SAME", use_bias=False)(y)
-        y = nn.relu(SyncBatchNorm(axis_name=self.axis_name)(y, train))
+                                 axis_name=self.axis_name,
+                                 dtype=self.dtype)(c5, train)
+        y = nn.Conv(512, (3, 3), padding="SAME", use_bias=False,
+                    dtype=self.dtype)(y)
+        y = nn.relu(SyncBatchNorm(axis_name=self.axis_name,
+                                      dtype=self.dtype)(y, train))
         y = nn.Dropout(0.1, deterministic=not train)(y)
-        y = nn.Conv(self.num_outputs, (1, 1))(y)
-        y = resize_bilinear(y, input_size)
+        y = nn.Conv(self.num_outputs, (1, 1), dtype=self.dtype)(y)
+        y = resize_bilinear(y, input_size).astype(jnp.float32)
         # the aux branch is always traced so its params exist regardless of
         # `with_aux`; when unused XLA dead-code-eliminates it.
-        aux = nn.Conv(256, (3, 3), padding="SAME", use_bias=False)(c4)
-        aux = nn.relu(SyncBatchNorm(axis_name=self.axis_name)(aux, train))
+        aux = nn.Conv(256, (3, 3), padding="SAME", use_bias=False,
+                      dtype=self.dtype)(c4)
+        aux = nn.relu(SyncBatchNorm(axis_name=self.axis_name,
+                                      dtype=self.dtype)(aux, train))
         aux = nn.Dropout(0.1, deterministic=not train)(aux)
-        aux = nn.Conv(self.num_outputs, (1, 1))(aux)
-        aux = resize_bilinear(aux, input_size)
+        aux = nn.Conv(self.num_outputs, (1, 1), dtype=self.dtype)(aux)
+        aux = resize_bilinear(aux, input_size).astype(jnp.float32)
         if not with_aux:
             return y
         return y, aux

@@ -30,24 +30,25 @@ class BasicBlock(nn.Module):
     stride: int = 1
     dilation: int = 1
     axis_name: Optional[str] = None
+    dtype: Optional[str] = None
 
     @nn.compact
     def __call__(self, x, train: bool = True):
         residual = x
         y = nn.Conv(self.features, (3, 3), strides=(self.stride,) * 2,
                     kernel_dilation=(self.dilation,) * 2, padding="SAME",
-                    use_bias=False)(x)
-        y = SyncBatchNorm(axis_name=self.axis_name)(y, train)
+                    use_bias=False, dtype=self.dtype)(x)
+        y = SyncBatchNorm(axis_name=self.axis_name, dtype=self.dtype)(y, train)
         y = nn.relu(y)
         y = nn.Conv(self.features, (3, 3),
                     kernel_dilation=(self.dilation,) * 2, padding="SAME",
-                    use_bias=False)(y)
-        y = SyncBatchNorm(axis_name=self.axis_name)(y, train)
+                    use_bias=False, dtype=self.dtype)(y)
+        y = SyncBatchNorm(axis_name=self.axis_name, dtype=self.dtype)(y, train)
         if residual.shape != y.shape:
             residual = nn.Conv(self.features, (1, 1),
                                strides=(self.stride,) * 2,
-                               use_bias=False)(x)
-            residual = SyncBatchNorm(axis_name=self.axis_name)(
+                               use_bias=False, dtype=self.dtype)(x)
+            residual = SyncBatchNorm(axis_name=self.axis_name, dtype=self.dtype)(
                 residual, train)
         return nn.relu(y + residual)
 
@@ -57,25 +58,26 @@ class Bottleneck(nn.Module):
     stride: int = 1
     dilation: int = 1
     axis_name: Optional[str] = None
+    dtype: Optional[str] = None
 
     @nn.compact
     def __call__(self, x, train: bool = True):
         residual = x
-        y = nn.Conv(self.features, (1, 1), use_bias=False)(x)
-        y = SyncBatchNorm(axis_name=self.axis_name)(y, train)
+        y = nn.Conv(self.features, (1, 1), use_bias=False, dtype=self.dtype)(x)
+        y = SyncBatchNorm(axis_name=self.axis_name, dtype=self.dtype)(y, train)
         y = nn.relu(y)
         y = nn.Conv(self.features, (3, 3), strides=(self.stride,) * 2,
                     kernel_dilation=(self.dilation,) * 2, padding="SAME",
-                    use_bias=False)(y)
-        y = SyncBatchNorm(axis_name=self.axis_name)(y, train)
+                    use_bias=False, dtype=self.dtype)(y)
+        y = SyncBatchNorm(axis_name=self.axis_name, dtype=self.dtype)(y, train)
         y = nn.relu(y)
-        y = nn.Conv(self.features * 4, (1, 1), use_bias=False)(y)
-        y = SyncBatchNorm(axis_name=self.axis_name)(y, train)
+        y = nn.Conv(self.features * 4, (1, 1), use_bias=False, dtype=self.dtype)(y)
+        y = SyncBatchNorm(axis_name=self.axis_name, dtype=self.dtype)(y, train)
         if residual.shape != y.shape:
             residual = nn.Conv(self.features * 4, (1, 1),
                                strides=(self.stride,) * 2,
-                               use_bias=False)(x)
-            residual = SyncBatchNorm(axis_name=self.axis_name)(
+                               use_bias=False, dtype=self.dtype)(x)
+            residual = SyncBatchNorm(axis_name=self.axis_name, dtype=self.dtype)(
                 residual, train)
         return nn.relu(y + residual)
 
@@ -90,25 +92,26 @@ class ResNetBackbone(nn.Module):
     stage_strides: Tuple[int, int, int, int] = (1, 2, 2, 2)
     stage_dilations: Tuple[int, int, int, int] = (1, 1, 1, 1)
     axis_name: Optional[str] = None
+    dtype: Optional[str] = None
 
     @nn.compact
     def __call__(self, x, train: bool = True):
         blocks = STAGE_BLOCKS[self.layer]
         block_cls = Bottleneck if EXPANSION[self.layer] == 4 else BasicBlock
-        bn = lambda: SyncBatchNorm(axis_name=self.axis_name)
+        bn = lambda: SyncBatchNorm(axis_name=self.axis_name, dtype=self.dtype)
 
         if self.deep_stem:
             # 3x conv3x3 stem (reference models/resnet.py:109-118)
             x = nn.Conv(64, (3, 3), strides=(2, 2), padding="SAME",
-                        use_bias=False)(x)
+                        use_bias=False, dtype=self.dtype)(x)
             x = nn.relu(bn()(x, train))
-            x = nn.Conv(64, (3, 3), padding="SAME", use_bias=False)(x)
+            x = nn.Conv(64, (3, 3), padding="SAME", use_bias=False, dtype=self.dtype)(x)
             x = nn.relu(bn()(x, train))
-            x = nn.Conv(128, (3, 3), padding="SAME", use_bias=False)(x)
+            x = nn.Conv(128, (3, 3), padding="SAME", use_bias=False, dtype=self.dtype)(x)
             x = nn.relu(bn()(x, train))
         else:
             x = nn.Conv(64, (7, 7), strides=(2, 2), padding="SAME",
-                        use_bias=False)(x)
+                        use_bias=False, dtype=self.dtype)(x)
             x = nn.relu(bn()(x, train))
         x = max_pool(x, window=3, stride=2, padding="SAME")
 
@@ -119,7 +122,8 @@ class ResNetBackbone(nn.Module):
                 stride = self.stage_strides[stage] if i == 0 else 1
                 x = block_cls(features=widths[stage], stride=stride,
                               dilation=self.stage_dilations[stage],
-                              axis_name=self.axis_name)(x, train)
+                              axis_name=self.axis_name,
+                              dtype=self.dtype)(x, train)
             features.append(x)
         return tuple(features)
 

@@ -19,13 +19,14 @@ class DownConv(nn.Module):
     features: int
     pooling: bool = True
     axis_name: Optional[str] = None
+    dtype: Optional[str] = None
 
     @nn.compact
     def __call__(self, x, train: bool = True):
-        x = nn.Conv(self.features, (3, 3), padding="SAME")(x)
-        x = nn.relu(SyncBatchNorm(axis_name=self.axis_name)(x, train))
-        x = nn.Conv(self.features, (3, 3), padding="SAME")(x)
-        x = nn.relu(SyncBatchNorm(axis_name=self.axis_name)(x, train))
+        x = nn.Conv(self.features, (3, 3), padding="SAME", dtype=self.dtype)(x)
+        x = nn.relu(SyncBatchNorm(axis_name=self.axis_name, dtype=self.dtype)(x, train))
+        x = nn.Conv(self.features, (3, 3), padding="SAME", dtype=self.dtype)(x)
+        x = nn.relu(SyncBatchNorm(axis_name=self.axis_name, dtype=self.dtype)(x, train))
         before_pool = x
         if self.pooling:
             x = max_pool(x)
@@ -37,24 +38,25 @@ class UpConv(nn.Module):
     merge_mode: str = "concat"
     up_mode: str = "transpose"
     axis_name: Optional[str] = None
+    dtype: Optional[str] = None
 
     @nn.compact
     def __call__(self, from_down, from_up, train: bool = True):
         if self.up_mode == "transpose":
             x = nn.ConvTranspose(self.features, (2, 2),
-                                 strides=(2, 2))(from_up)
+                                 strides=(2, 2), dtype=self.dtype)(from_up)
         else:
             x = resize_bilinear(from_up, (from_up.shape[1] * 2,
                                           from_up.shape[2] * 2))
-            x = nn.Conv(self.features, (1, 1))(x)
+            x = nn.Conv(self.features, (1, 1), dtype=self.dtype)(x)
         if self.merge_mode == "concat":
             x = jnp.concatenate([x, from_down], axis=-1)
         else:
             x = x + from_down
-        x = nn.Conv(self.features, (3, 3), padding="SAME")(x)
-        x = nn.relu(SyncBatchNorm(axis_name=self.axis_name)(x, train))
-        x = nn.Conv(self.features, (3, 3), padding="SAME")(x)
-        x = nn.relu(SyncBatchNorm(axis_name=self.axis_name)(x, train))
+        x = nn.Conv(self.features, (3, 3), padding="SAME", dtype=self.dtype)(x)
+        x = nn.relu(SyncBatchNorm(axis_name=self.axis_name, dtype=self.dtype)(x, train))
+        x = nn.Conv(self.features, (3, 3), padding="SAME", dtype=self.dtype)(x)
+        x = nn.relu(SyncBatchNorm(axis_name=self.axis_name, dtype=self.dtype)(x, train))
         return x
 
 
@@ -66,6 +68,7 @@ class UNet(nn.Module):
     up_mode: str = "transpose"
     merge_mode: str = "concat"
     axis_name: Optional[str] = None
+    dtype: Optional[str] = None
 
     def setup(self):
         if self.up_mode not in ("transpose", "upsample"):
@@ -84,13 +87,17 @@ class UNet(nn.Module):
             outs = self.start_filts * (2 ** i)
             pooling = i < self.depth - 1
             x, before_pool = DownConv(outs, pooling=pooling,
-                                      axis_name=self.axis_name)(x, train)
+                                      axis_name=self.axis_name,
+                                      dtype=self.dtype)(x, train)
             encoder_outs.append(before_pool)
         for i in range(self.depth - 1):
             outs = outs // 2
             before_pool = encoder_outs[-(i + 2)]
             x = UpConv(outs, merge_mode=self.merge_mode,
                        up_mode=self.up_mode,
-                       axis_name=self.axis_name)(before_pool, x, train)
-        x = nn.Conv(self.num_classes + self.num_offsets, (1, 1))(x)
+                       axis_name=self.axis_name,
+                       dtype=self.dtype)(before_pool, x, train)
+        x = nn.Conv(self.num_classes + self.num_offsets, (1, 1),
+                    dtype=self.dtype)(x)
+        x = x.astype(jnp.float32)
         return x

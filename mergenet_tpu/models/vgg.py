@@ -17,13 +17,15 @@ class VGG16Backbone(nn.Module):
     2/4/8/16/32."""
 
     axis_name: Optional[str] = None  # unused (VGG has no norm layers)
+    dtype: Optional[str] = None
 
     @nn.compact
     def __call__(self, x, train: bool = True):
         features = []
         for n_convs, width in _VGG16_CFG:
             for _ in range(n_convs):
-                x = nn.relu(nn.Conv(width, (3, 3), padding="SAME")(x))
+                x = nn.relu(nn.Conv(width, (3, 3), padding="SAME",
+                                    dtype=self.dtype)(x))
             x = max_pool(x)
             features.append(x)
         return tuple(features)
