@@ -262,7 +262,7 @@ class ObjectSegmenter:
         # re-point b's adjacency records at a, coalescing duplicates
         for c in self.nbrs[b]:
             old_key = (b, c) if b < c else (c, b)
-            old_rec = records_pop = self.records.pop(old_key)
+            old_rec = self.records.pop(old_key)
             self.nbrs[c].discard(b)
             new_key = (a, c) if a < c else (c, a)
             existing = self.records.get(new_key)
