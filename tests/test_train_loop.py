@@ -140,6 +140,58 @@ def test_inference_decode_end_to_end(trained, tmp_path):
         assert best_iou > 0.7, "instance {} IoU {}".format(gt_id, best_iou)
 
 
+def test_trained_model_achieves_ap(trained, tmp_path):
+    """Full-system quality check: train -> infer -> decode -> COCOeval AP.
+    The synthetic task is easy, so the mask AP should be high."""
+    from mergenet_tpu.data import rle as maskUtils
+    from mergenet_tpu.data.coco import COCO
+    from mergenet_tpu.data.cocoeval import COCOeval
+
+    state, eval_step, loader, inst, classes = trained
+    img, target = loader[0]
+    probs, _ = eval_step(state, img[:1], target[:1])
+    probs = np.asarray(probs)[0]
+    cp = np.moveaxis(probs[..., :NUM_CLASSES], -1, 0)
+    sp = np.moveaxis(probs[..., NUM_CLASSES:], -1, 0)
+    mask, object_class = csegment.run_segmentation(
+        cp, sp, NUM_CLASSES, OFFSETS,
+        object_merge_factor=1.0 / len(OFFSETS), do_prune=False)
+
+    # ground truth COCO
+    anns = []
+    for k in (1, 2):
+        m = (inst == k).astype(np.uint8)
+        r = maskUtils.encode(m)
+        anns.append({"id": k, "image_id": 0, "category_id": classes[k],
+                     "segmentation": {"size": r["size"],
+                                      "counts":
+                                      r["counts"].decode("ascii")},
+                     "area": int(m.sum()), "iscrowd": 0})
+    coco = COCO()
+    coco.dataset = {"images": [{"id": 0, "file_name": "x",
+                                "height": HW, "width": HW}],
+                    "annotations": anns,
+                    "categories": [{"id": 1, "name": "a"},
+                                   {"id": 2, "name": "b"}]}
+    coco.createIndex()
+    results = []
+    for i in range(1, int(mask.max()) + 1):
+        m = (mask == i).astype(np.uint8)
+        if m.sum() == 0:
+            continue
+        results.append({"image_id": 0,
+                        "category_id": int(object_class[i - 1]),
+                        "segmentation": maskUtils.encode(
+                            np.asfortranarray(m)),
+                        "score": 1.0})
+    dt = coco.loadRes(results)
+    E = COCOeval(coco, dt, "segm")
+    E.evaluate()
+    E.accumulate()
+    E.summarize()
+    assert E.stats[1] > 0.5, E.stats  # AP@0.5
+
+
 def test_sample_writes_pngs(trained, tmp_path):
     state, eval_step, loader, _, _ = trained
     sample(state, eval_step, loader, str(tmp_path), NUM_CLASSES,
