@@ -350,17 +350,22 @@ class COCOTestset:
 
 class DataLoader:
     """Minimal batching loader: shuffle, batch, drop_last; yields stacked
-    numpy arrays (replaces torch.utils.data.DataLoader in the recipes)."""
+    numpy arrays (replaces torch.utils.data.DataLoader in the recipes).
+
+    `prefetch > 0` assembles batches on a background thread so host data
+    prep overlaps the device step (the TPU analogue of the reference's
+    num_workers>0 DataLoader processes)."""
 
     def __init__(self, dataset, batch_size=1, shuffle=False, drop_last=False,
-                 seed=0):
+                 seed=0, prefetch=0):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.drop_last = drop_last
+        self.prefetch = prefetch
         self.rng = np.random.RandomState(seed)
 
-    def __iter__(self):
+    def _batches(self):
         order = np.arange(len(self.dataset))
         if self.shuffle:
             self.rng.shuffle(order)
@@ -370,6 +375,35 @@ class DataLoader:
         for s in range(0, end, step):
             items = [self.dataset[int(i)] for i in order[s:s + step]]
             yield self._collate(items)
+
+    def __iter__(self):
+        if self.prefetch <= 0:
+            yield from self._batches()
+            return
+        import queue
+        import threading
+        q = queue.Queue(maxsize=self.prefetch)
+        sentinel = object()
+        err = []
+
+        def worker():
+            try:
+                for batch in self._batches():
+                    q.put(batch)
+            except BaseException as e:  # surfaced on the consumer side
+                err.append(e)
+            finally:
+                q.put(sentinel)
+
+        t = threading.Thread(target=worker, daemon=True)
+        t.start()
+        while True:
+            batch = q.get()
+            if batch is sentinel:
+                break
+            yield batch
+        if err:
+            raise err[0]
 
     @staticmethod
     def _collate(items):

@@ -209,3 +209,14 @@ def test_dataloader(tmp_path):
     assert img.shape == (2, 32, 48, 3)
     assert target.shape == (2, 32, 48, 4)
     assert len(dl) == 1
+
+
+def test_dataloader_prefetch(tmp_path):
+    path = _make_coco_json(str(tmp_path))
+    ds = AllDataset(str(tmp_path), path, num_classes=3,
+                    offset_list=[(1, 0)])
+    dl = DataLoader(ds, batch_size=1, prefetch=2)
+    batches = list(dl)
+    assert len(batches) == 2
+    img, target = batches[0]
+    assert img.shape == (1, 32, 48, 3)
