@@ -92,20 +92,29 @@ def _split_loss(logits, targets, num_classes, num_offsets, alpha,
 def build_train_step(num_classes, num_offsets, alpha=1.0,
                      criterion_cls=bce_with_logits_loss,
                      criterion_ofs=bce_with_logits_loss,
-                     mesh=None, donate=True):
+                     mesh=None, donate=True, remat=False):
     """Returns step(state, img, target, dropout_rng) -> (state, metrics).
 
     img: (N, H, W, 3) float; target: (N, H, W, C+O) float.
     With `mesh`, inputs are expected sharded batch-wise and the returned
     function is jitted over the mesh (params replicated).
+    `remat=True` rematerializes the forward during backprop
+    (jax.checkpoint) — trades FLOPs for activation memory, enabling
+    bigger batches / crops per chip.
     """
 
     def step(state, img, target, rng):
-        def loss_fn(params):
-            outs, updates = state.apply_fn(
+        def forward(params, img):
+            return state.apply_fn(
                 {"params": params, "batch_stats": state.batch_stats},
                 img, train=True, mutable=["batch_stats"],
                 rngs={"dropout": rng})
+
+        if remat:
+            forward = jax.checkpoint(forward)
+
+        def loss_fn(params):
+            outs, updates = forward(params, img)
             total, cls_l, ofs_l = _split_loss(
                 outs, target, num_classes, num_offsets, alpha,
                 criterion_cls, criterion_ofs)

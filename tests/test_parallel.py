@@ -98,3 +98,21 @@ def test_spatial_sharding_compiles():
     target = jax.device_put(target, sh)
     state, metrics = step(state, img, target, jax.random.PRNGKey(0))
     assert np.isfinite(float(metrics["loss"]))
+
+
+def test_remat_train_step_matches():
+    """jax.checkpoint'd step produces the same updates (it only changes
+    the memory/compute tradeoff)."""
+    _, state_a, _ = _tiny_setup()
+    _, state_b, _ = _tiny_setup()
+    step_plain = build_train_step(3, 2)
+    step_remat = build_train_step(3, 2, remat=True)
+    img = jax.random.uniform(jax.random.PRNGKey(1), (2, 16, 16, 3))
+    tgt = (jax.random.uniform(jax.random.PRNGKey(2),
+                              (2, 16, 16, 5)) > 0.5).astype(jnp.float32)
+    for i in range(2):
+        rng = jax.random.PRNGKey(i)
+        state_a, ma = step_plain(state_a, img, tgt, rng)
+        state_b, mb = step_remat(state_b, img, tgt, rng)
+        np.testing.assert_allclose(float(ma["loss"]), float(mb["loss"]),
+                                   rtol=1e-6)
