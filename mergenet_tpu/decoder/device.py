@@ -339,7 +339,10 @@ def relabel_mask(label, root_class, is_instance_root):
     mask = ids[label.reshape(-1)].reshape(H, W)
     k = jnp.where(is_instance_root, inst_id - 1, M - 1)
     inst_class = jnp.full((M,), -1, jnp.int32)
-    inst_class = inst_class.at[k].set(
+    # scatter-max: non-instance slots write -1 into k = M-1, which must not
+    # clobber a real instance that happens to land there (instance classes
+    # are >= 1, so max resolves the collision correctly)
+    inst_class = inst_class.at[k].max(
         jnp.where(is_instance_root, root_class,
                   jnp.full_like(root_class, -1)))
     return mask, inst_class
