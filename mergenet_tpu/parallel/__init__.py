@@ -1,9 +1,11 @@
 from .mesh import make_mesh, batch_sharding, replicated_sharding
 from .train import (TrainState, make_optimizer, multistep_lr,
-                    build_train_step, build_eval_step, create_train_state)
+                    build_train_step, build_train_step_compact,
+                    build_eval_step, create_train_state)
 
 __all__ = [
     "make_mesh", "batch_sharding", "replicated_sharding",
     "TrainState", "make_optimizer", "multistep_lr",
-    "build_train_step", "build_eval_step", "create_train_state",
+    "build_train_step", "build_train_step_compact", "build_eval_step",
+    "create_train_state",
 ]

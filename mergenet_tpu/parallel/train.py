@@ -140,6 +140,67 @@ def build_train_step(num_classes, num_offsets, alpha=1.0,
         donate_argnums=donate_argnums)
 
 
+def build_train_step_compact(num_classes, offsets, alpha=1.0,
+                             criterion_cls=bce_with_logits_loss,
+                             criterion_ofs=bce_with_logits_loss,
+                             mesh=None, donate=True, remat=False):
+    """Train step over *compact* batches from the grain pipeline:
+    step(state, image_u8, mask, object_class, rng) -> (state, metrics).
+
+    image_u8: (N, H, W, 3) uint8; mask: (N, H, W) int32 instance ids;
+    object_class: (N, K) int32 class table.  Normalization (/256, the
+    reference's convention, dataset.py:131-134) and the (C + O)-plane
+    target construction (`ops.targets.mask_to_target`) run on device inside
+    the jitted step — the host ships ~20x less data than float32 targets.
+    """
+    from ..ops.targets import mask_to_target
+
+    offsets = tuple(tuple(o) for o in offsets)
+    num_offsets = len(offsets)
+
+    def step(state, image_u8, mask, object_class, rng):
+        img = image_u8.astype(jnp.float32) / 256.0
+        target = jax.vmap(
+            lambda m, oc: mask_to_target(m, oc, num_classes, offsets)
+        )(mask, object_class)
+
+        def forward(params, img):
+            return state.apply_fn(
+                {"params": params, "batch_stats": state.batch_stats},
+                img, train=True, mutable=["batch_stats"],
+                rngs={"dropout": rng})
+
+        if remat:
+            forward = jax.checkpoint(forward)
+
+        def loss_fn(params):
+            outs, updates = forward(params, img)
+            total, cls_l, ofs_l = _split_loss(
+                outs, target, num_classes, num_offsets, alpha,
+                criterion_cls, criterion_ofs)
+            return total, (cls_l, ofs_l, updates)
+
+        (total, (cls_l, ofs_l, updates)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        new_state = state.apply_gradients(
+            grads, updates.get("batch_stats", state.batch_stats))
+        metrics = {"loss": total, "cls_loss": cls_l, "ofs_loss": ofs_l}
+        return new_state, metrics
+
+    donate_argnums = (0,) if donate else ()
+    if mesh is None:
+        return jax.jit(step, donate_argnums=donate_argnums)
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from .mesh import batch_sharding
+    repl = NamedSharding(mesh, P())
+    data4 = batch_sharding(mesh)
+    data_nhw = NamedSharding(mesh, P("data"))
+    return jax.jit(
+        step,
+        in_shardings=(None, data4, data_nhw, data_nhw, repl),
+        donate_argnums=donate_argnums)
+
+
 def build_eval_step(num_classes, num_offsets, alpha=1.0,
                     criterion_cls=bce_with_logits_loss,
                     criterion_ofs=bce_with_logits_loss, mesh=None):

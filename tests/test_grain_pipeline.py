@@ -1,0 +1,96 @@
+"""Grain production pipeline: compact records -> device-side targets."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+pytest.importorskip("grain")
+
+from mergenet_tpu.data.grain_pipeline import (CocoInstanceSource,
+                                              make_train_pipeline,
+                                              MAX_INSTANCES)
+from mergenet_tpu.models.unet import UNet
+from mergenet_tpu.parallel import (make_optimizer, create_train_state,
+                                   build_train_step_compact)
+from mergenet_tpu.ops.targets import mask_to_target_np
+
+from test_data import _make_coco_json  # synthetic COCO fixture
+
+OFFSETS = ((1, 0), (0, 1))
+
+
+def test_source_and_pipeline(tmp_path):
+    path = _make_coco_json(str(tmp_path))
+    src = CocoInstanceSource(str(tmp_path), path)
+    assert len(src) == 2
+    rec = src[0]
+    assert rec["image"].shape == (32, 48, 3)
+    assert rec["image"].dtype == np.uint8
+    assert rec["mask"].shape == (32, 48)
+    assert rec["object_class"].shape == (MAX_INSTANCES,)
+    assert rec["object_class"][1] == 1  # first instance -> class 1
+
+    it, _ = make_train_pipeline(str(tmp_path), path, batch_size=2,
+                                crop_size=16, seed=0)
+    batch = next(iter(it))
+    assert batch["image"].shape == (2, 16, 16, 3)
+    assert batch["mask"].shape == (2, 16, 16)
+    assert batch["object_class"].shape == (2, MAX_INSTANCES)
+
+
+def test_compact_train_step_matches_precomputed_targets(tmp_path):
+    """The compact step (device-side targets) computes the same loss as
+    the standard step fed host-built targets."""
+    from mergenet_tpu.parallel import build_train_step
+
+    path = _make_coco_json(str(tmp_path))
+    it, _ = make_train_pipeline(str(tmp_path), path, batch_size=2,
+                                crop_size=16, seed=0, shuffle=False)
+    batch = next(iter(it))
+
+    model = UNet(3, len(OFFSETS), depth=2, start_filts=8)
+    tx = make_optimizer(lr=0.05)
+    sa = create_train_state(model, tx, jax.random.PRNGKey(0),
+                            (1, 16, 16, 3))
+    sb = create_train_state(model, tx, jax.random.PRNGKey(0),
+                            (1, 16, 16, 3))
+
+    compact = build_train_step_compact(3, OFFSETS)
+    plain = build_train_step(3, len(OFFSETS))
+
+    # host-built equivalents of what the compact step builds on device
+    img = batch["image"].astype(np.float32) / 256.0
+    target = np.stack([
+        mask_to_target_np(batch["mask"][i].astype(np.int64),
+                          batch["object_class"][i], 3, OFFSETS)
+        for i in range(2)])
+
+    rng = jax.random.PRNGKey(7)
+    sa, ma = compact(sa, jnp.asarray(batch["image"]),
+                     jnp.asarray(batch["mask"]),
+                     jnp.asarray(batch["object_class"]), rng)
+    sb, mb = plain(sb, jnp.asarray(img), jnp.asarray(target), rng)
+    np.testing.assert_allclose(float(ma["loss"]), float(mb["loss"]),
+                               rtol=1e-6)
+
+
+def test_compact_step_trains(tmp_path):
+    path = _make_coco_json(str(tmp_path))
+    it, _ = make_train_pipeline(str(tmp_path), path, batch_size=2,
+                                crop_size=16, seed=0, num_epochs=8)
+    model = UNet(3, len(OFFSETS), depth=2, start_filts=8)
+    tx = make_optimizer(lr=0.05)
+    state = create_train_state(model, tx, jax.random.PRNGKey(0),
+                               (1, 16, 16, 3))
+    step = build_train_step_compact(3, OFFSETS)
+    losses = []
+    for i, batch in enumerate(it):
+        state, m = step(state, jnp.asarray(batch["image"]),
+                        jnp.asarray(batch["mask"]),
+                        jnp.asarray(batch["object_class"]),
+                        jax.random.PRNGKey(i))
+        losses.append(float(m["loss"]))
+    assert len(losses) >= 6
+    assert losses[-1] < losses[0]
