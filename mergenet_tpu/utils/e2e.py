@@ -1,0 +1,86 @@
+"""In-memory end-to-end inference: net forward + on-device merge decode in
+one jitted program, no per-image host sync or npy filesystem handoff.
+
+The staged recipe (class_infer -> offset_infer -> segment) keeps the
+reference's filesystem contract; this is the production fast path the
+BASELINE.json north star asks for ("net-forward + merge runs without
+per-image host sync").  One dispatch per batch; only the compact instance
+masks return to the host.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..decoder.device import decode_on_device, relabel_mask
+
+
+def build_e2e_infer(model, num_classes, offsets, decode_size=None,
+                    same_different_bias=0.0, object_merge_factor=1.0,
+                    merge_logprob_bias=0.03, max_rounds=48,
+                    max_components=None, max_edges=None, dtype=None):
+    """Returns infer(variables, imgs) -> (masks, inst_classes).
+
+    imgs: (N, H, W, 3) float32.  The net runs at full resolution; decode
+    happens at `decode_size` (h, w) (default: half resolution, the
+    reference's choice) and the mask is upsampled back with
+    nearest-neighbor, exactly like `segment.py:146-149`.
+    """
+    offsets = tuple(tuple(o) for o in offsets)
+
+    def one(variables, img):
+        H, W = img.shape[0], img.shape[1]
+        dh, dw = decode_size if decode_size else (H // 2, W // 2)
+        mc = max_components if max_components else max(4096, dh * dw // 16)
+        me = max_edges if max_edges else max(16384, dh * dw // 4)
+
+        x = img[None]
+        if dtype is not None:
+            x = x.astype(dtype)
+        logits = model.apply(variables, x, train=False)
+        probs = jax.nn.sigmoid(logits.astype(jnp.float32))[0]
+        small = jax.image.resize(probs, (dh, dw, probs.shape[-1]),
+                                 "bilinear")
+        cp = small[..., :num_classes]
+        sp = small[..., num_classes:]
+        label, root_class, is_inst = decode_on_device(
+            cp, sp, num_classes, offsets,
+            same_different_bias=same_different_bias,
+            object_merge_factor=object_merge_factor,
+            merge_logprob_bias=merge_logprob_bias,
+            max_rounds=max_rounds, max_components=mc, max_edges=me)
+        mask, inst_class = relabel_mask(label, root_class, is_inst)
+        # nearest-neighbor upsample back to full resolution
+        full = jax.image.resize(mask.astype(jnp.int32), (H, W),
+                                "nearest")
+        return full, inst_class
+
+    @jax.jit
+    def infer(variables, imgs):
+        return jax.vmap(lambda im: one(variables, im))(imgs)
+
+    return infer
+
+
+def masks_to_results(masks, inst_classes, image_ids, catIds):
+    """Convert a decoded batch into COCO result dicts (host side)."""
+    from ..data import rle as maskUtils
+    masks = np.asarray(masks)
+    inst_classes = np.asarray(inst_classes)
+    out = []
+    for b in range(masks.shape[0]):
+        mask = masks[b]
+        for i in range(1, int(mask.max()) + 1):
+            cls = int(inst_classes[b][i - 1])
+            if cls < 0:
+                continue
+            m = (mask == i).astype(np.uint8)
+            out.append({
+                "image_id": int(image_ids[b]),
+                "score": 1,
+                "category_id": catIds[cls],
+                "segmentation": maskUtils.encode(np.asfortranarray(m)),
+            })
+    return out
