@@ -99,7 +99,7 @@ def main():
         # generous headroom (docs/benchmarks.md)
         label, root_class, is_inst = decode_on_device(
             cp, sp, num_classes, offsets, object_merge_factor=1.0,
-            merge_logprob_bias=0.03, max_rounds=48,
+            merge_logprob_bias=0.03, max_rounds=48, ccl_sweeps=3,
             max_components=DH * DW // 16, max_edges=DH * DW // 4)
         mask, inst_class = relabel_mask(label, root_class, is_inst)
         return jnp.sum(mask) + jnp.max(inst_class)

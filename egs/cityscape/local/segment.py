@@ -79,13 +79,10 @@ def _decode(class_mask, bound_mask, num_classes, offset_list):
     mlb = args.merge_logprob_bias or 0.03
     if args.decoder == "device":
         from mergenet_tpu.decoder.device import run_segmentation_device
-        H, W = class_mask.shape[1:]
         return run_segmentation_device(
             class_mask, bound_mask, num_classes, offset_list,
             same_different_bias=args.same_different_bias,
-            object_merge_factor=omf, merge_logprob_bias=mlb,
-            max_components=max(4096, H * W // 8),
-            max_edges=max(16384, H * W // 2))
+            object_merge_factor=omf, merge_logprob_bias=mlb)
     if args.decoder == "cpp":
         from mergenet_tpu.decoder import csegment
         return csegment.run_segmentation(

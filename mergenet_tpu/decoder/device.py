@@ -70,13 +70,15 @@ def _seg_min_scan(label, link, axis, reverse=False):
                      "do_prune", "same_different_bias",
                      "object_merge_factor", "merge_logprob_bias",
                      "prune_threshold", "max_components", "max_edges",
-                     "ccl_sweeps"))
+                     "ccl_sweeps", "ccl_margin", "anneal_start",
+                     "anneal_halvings"))
 def decode_on_device(class_probs, sameness_probs, num_classes, offsets,
                      same_different_bias=0.0, object_merge_factor=1.0,
                      merge_logprob_bias=0.0, den_mode="sum",
                      do_prune=False, prune_threshold=200.0,
-                     max_rounds=48, max_components=None, max_edges=None,
-                     ccl_sweeps=3):
+                     max_rounds=64, max_components=None, max_edges=None,
+                     ccl_sweeps=0, ccl_margin=0.0, anneal_start=32.0,
+                     anneal_halvings=0):
     """Decode one image into instances, entirely on device.
 
     Args:
@@ -91,7 +93,24 @@ def decode_on_device(class_probs, sameness_probs, num_classes, offsets,
             (default: all pixels — exact; set ~N/4 for speed at full res).
         max_edges: capacity of the compacted external-edge arrays
             (default: all edges — exact).
-        ccl_sweeps: row+column segmented-scan sweeps in phase 1.
+        ccl_sweeps: row+column segmented-scan sweeps in phase 1.  Default
+            0: flooding is an opt-in accelerator — per-edge flooding is
+            exact on confident (oracle-like) inputs but can irreversibly
+            fuse same-class neighbors through fuzzy seams of real model
+            outputs, where phase 3's aggregated pair evidence is the
+            faithful analogue of the greedy.  Enable (e.g. 3) together with
+            capacity caps for throughput-tuned serving on validated data.
+        ccl_margin: minimum per-edge log-odds for the phase-1 flood fill
+            ("surely mergeable"; 2.0 ~ p(same) > 0.88).  Marginal edges are
+            left to phase 3, which decides on aggregated pair evidence like
+            the serial greedy.
+        anneal_start / anneal_halvings: phase-3 priority-threshold
+            annealing: round r only applies merges with priority >=
+            anneal_start * 0.5^r (0 after anneal_halvings rounds).  This
+            emulates the greedy's global best-first order: low-priority
+            boundary merges are deferred until components have grown and
+            their aggregated pair evidence is decisive.  Set
+            anneal_halvings=0 to disable.
 
     Returns:
         comp: (H, W) int32 — final component id per pixel, in [0, M).
@@ -131,35 +150,103 @@ def decode_on_device(class_probs, sameness_probs, num_classes, offsets,
             pri = oml * omf / 2.0 + bias
         else:
             pri = (oml * omf + bias)
-        ok = same_cls & (pri >= 0.0) & (oml > 0.0)
+        ok = same_cls & (pri >= 0.0) & (oml > ccl_margin)
         # border validity
         if di > 0:
             ok = ok & (jnp.arange(H)[:, None] < H - di)
+        elif di < 0:
+            ok = ok & (jnp.arange(H)[:, None] >= -di)
         if dj > 0:
             ok = ok & (jnp.arange(W)[None, :] < W - dj)
+        elif dj < 0:
+            ok = ok & (jnp.arange(W)[None, :] >= -dj)
         return ok
 
     offs = list(offsets)
-    h_idx = offs.index((0, 1)) if (0, 1) in offs else None
-    v_idx = offs.index((1, 0)) if (1, 0) in offs else None
-    if h_idx is not None or v_idx is not None:
-        if h_idx is not None:
-            e_r = strong_edge(h_idx, 0, 1)     # (i,j)->(i,j+1)
-            link_lr = jnp.roll(e_r, 1, axis=1)  # (i,j) linked to (i,j-1)
-            link_lr = link_lr.at[:, 0].set(False)
-            link_rl = e_r
-        if v_idx is not None:
-            e_d = strong_edge(v_idx, 1, 0)     # (i,j)->(i+1,j)
-            link_td = jnp.roll(e_d, 1, axis=0)
-            link_td = link_td.at[0, :].set(False)
-            link_bu = e_d
+
+    def smallest_axis_offset(axis):
+        """The smallest purely-horizontal (axis=1) or purely-vertical
+        (axis=0) offset in the set — the offset grids need not contain
+        (0,1)/(1,0) (e.g. generate_offsets(80, 10) yields (0, 2))."""
+        cands = [(i, o) for i, o in enumerate(offs)
+                 if o[1 - axis] == 0 and o[axis] != 0]
+        if not cands:
+            return None
+        return min(cands, key=lambda t: abs(t[1][axis]))
+
+    def axis_links(axis):
+        """Forward/backward link planes for stride-s segmented scans along
+        `axis`, plus the stride s.  S[..pos..] is the strong edge between
+        positions p and p+s along the axis; None when no axis-aligned
+        offset exists or the stride doesn't divide the extent."""
+        pick = smallest_axis_offset(axis)
+        if pick is None:
+            return None
+        oi, o = pick
+        d = o[axis]
+        s = abs(d)
+        extent = (H, W)[axis]
+        if extent % s != 0:
+            return None
+        e = strong_edge(oi, *o)
+        if d < 0:
+            # edge (p) -> (p - s): canonicalize to S[p - s] between
+            # (p - s, p)
+            e = jnp.roll(e, -s, axis=axis)
+        return e, s
+
+    h_links = axis_links(1)
+    v_links = axis_links(0)
+    # erosion guard (conservative mode, ccl_margin > 0): only pixels whose
+    # ALL short-offset incident edges are strong may flood.  Fuzzy boundary
+    # rings (where a single marginal edge could irreversibly fuse two
+    # same-class objects) stay out of phase 1 and are resolved by phase 3's
+    # aggregated merging.
+    pixel_ok = jnp.ones((H, W), bool)
+    for links, axis in ((h_links, 1), (v_links, 0)):
+        if links is None or ccl_margin <= 0:
+            continue
+        S, stride = links
+        pos = jnp.arange((H, W)[axis])
+        pos = pos[:, None] if axis == 0 else pos[None, :]
+        extent = (H, W)[axis]
+        oob_fwd = pos >= extent - stride   # no forward partner
+        oob_bwd = pos < stride             # no backward partner
+        bwd = jnp.roll(S, stride, axis=axis)
+        pixel_ok = pixel_ok & (S | oob_fwd) & (bwd | oob_bwd)
+    if h_links is not None:
+        S, stride = h_links
+        h_links = (S & pixel_ok &
+                   jnp.roll(pixel_ok, -stride, axis=1), stride)
+    if v_links is not None:
+        S, stride = v_links
+        v_links = (S & pixel_ok &
+                   jnp.roll(pixel_ok, -stride, axis=0), stride)
+    if h_links is not None or v_links is not None:
+        def scan_axis(label, e, s, axis):
+            """Segmented min-scan along `axis` with stride-s links: view
+            the axis as (extent//s, s) so each stride-sublattice scans as a
+            contiguous chain."""
+            if axis == 1:
+                shape3 = (H, W // s, s)
+            else:
+                shape3 = (H // s, s, W)
+            scan_ax = 1 if axis == 1 else 0
+            L = label.reshape(shape3)
+            S = e.reshape(shape3)
+            fwd = jnp.roll(S, 1, axis=scan_ax)
+            idx = [slice(None)] * 3
+            idx[scan_ax] = 0
+            fwd = fwd.at[tuple(idx)].set(False)
+            L = _seg_min_scan(L, fwd, axis=scan_ax)
+            L = _seg_min_scan(L, S, axis=scan_ax, reverse=True)
+            return L.reshape(H, W)
+
         for _ in range(ccl_sweeps):
-            if h_idx is not None:
-                label = _seg_min_scan(label, link_lr, axis=1)
-                label = _seg_min_scan(label, link_rl, axis=1, reverse=True)
-            if v_idx is not None:
-                label = _seg_min_scan(label, link_td, axis=0)
-                label = _seg_min_scan(label, link_bu, axis=0, reverse=True)
+            if h_links is not None:
+                label = scan_axis(label, h_links[0], h_links[1], 1)
+            if v_links is not None:
+                label = scan_axis(label, v_links[0], v_links[1], 0)
         # canonicalize: two pointer-jump passes over pixel labels
         flat = label.reshape(-1)
         flat = flat[flat]
@@ -218,6 +305,11 @@ def decode_on_device(class_probs, sameness_probs, num_classes, offsets,
     def round_body(state):
         ea, eb, total_map, cls_lp, size, frozen, _, rounds = state
         best_lp = jnp.max(cls_lp, axis=1)
+        # priority-threshold annealing (greedy-order emulation)
+        tau = jnp.where(
+            rounds < anneal_halvings,
+            jnp.float32(anneal_start) * jnp.exp2(-rounds.astype(f32)),
+            jnp.float32(0.0))
 
         lo = jnp.minimum(ea, eb)
         hi = jnp.maximum(ea, eb)
@@ -261,7 +353,7 @@ def decode_on_device(class_probs, sameness_probs, num_classes, offsets,
             jax.ops.segment_max(jnp.where(elig_hi, lo_c, -1), hi_c,
                                 num_segments=M))
 
-        has_pos = comp_best >= 0.0
+        has_pos = comp_best >= tau
         parent = jnp.where(has_pos & (partner >= 0),
                            jnp.maximum(partner, 0), comp_ids)
         grandparent = parent[parent]
@@ -293,7 +385,7 @@ def decode_on_device(class_probs, sameness_probs, num_classes, offsets,
         eb = parent[eb]
         total_map = parent[total_map]
 
-        done = ~jnp.any(dying)
+        done = (~jnp.any(dying)) & (tau <= 0.0)
         return (ea, eb, total_map, cls_lp, size, frozen, done, rounds + 1)
 
     def cond(state):
@@ -321,7 +413,10 @@ def decode_on_device(class_probs, sameness_probs, num_classes, offsets,
         root_class = jnp.where(weak, 0, root_class)
         is_root = is_root & ~weak
 
-    is_instance_root = is_root & (root_class != 0)
+    # frozen components (capacity overflow) were never allowed to merge;
+    # emitting them as instances would spray fragments — fold them into
+    # background instead (under-segmentation beats garbage instances)
+    is_instance_root = is_root & (root_class != 0) & ~frozen
     return comp, root_class, is_instance_root
 
 

@@ -72,10 +72,20 @@ def load_checkpoint(dir, state, filename="checkpoint"):
         "step": int(state.step),
     }
     with ocp.StandardCheckpointer() as ckptr:
-        restored = ckptr.restore(path, target)
+        try:
+            restored = ckptr.restore(path, target)
+            opt_state = restored["opt_state"]
+        except (ValueError, TypeError):
+            # optimizer tree mismatch (e.g. the checkpoint was trained with
+            # an LR schedule but this state wasn't built with one) — restore
+            # model state only and keep the fresh optimizer state
+            # target-free restore returns the raw saved tree; take the
+            # model subtrees and keep the fresh optimizer state
+            restored = ckptr.restore(path)
+            opt_state = state.opt_state
     state = state.replace(
         params=restored["params"], batch_stats=restored["batch_stats"],
-        opt_state=restored["opt_state"],
+        opt_state=opt_state,
         step=jnp.asarray(restored["step"], jnp.int32))
     meta = {}
     if os.path.exists(meta_path):

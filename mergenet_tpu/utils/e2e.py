@@ -33,8 +33,11 @@ def build_e2e_infer(model, num_classes, offsets, decode_size=None,
     def one(variables, img):
         H, W = img.shape[0], img.shape[1]
         dh, dw = decode_size if decode_size else (H // 2, W // 2)
-        mc = max_components if max_components else max(4096, dh * dw // 16)
-        me = max_edges if max_edges else max(16384, dh * dw // 4)
+        # default: exact (uncapped) decode — real-model boundaries are
+        # fuzzier than oracle scenes and capacity overflow degrades quality;
+        # pass caps explicitly for throughput-tuned serving
+        mc = max_components
+        me = max_edges
 
         x = img[None]
         if dtype is not None:
