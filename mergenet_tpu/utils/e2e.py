@@ -14,7 +14,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..decoder.device import decode_on_device, relabel_mask
+from ..decoder.device import (decode_on_device, decode_on_device_staged,
+                              relabel_mask)
 
 
 def build_e2e_infer(model, num_classes, offsets, decode_size=None,
@@ -48,12 +49,18 @@ def build_e2e_infer(model, num_classes, offsets, decode_size=None,
                                  "bilinear")
         cp = small[..., :num_classes]
         sp = small[..., num_classes:]
-        label, root_class, is_inst = decode_on_device(
-            cp, sp, num_classes, offsets,
-            same_different_bias=same_different_bias,
-            object_merge_factor=object_merge_factor,
-            merge_logprob_bias=merge_logprob_bias,
-            max_rounds=max_rounds, max_components=mc, max_edges=me)
+        kw = dict(same_different_bias=same_different_bias,
+                  object_merge_factor=object_merge_factor,
+                  merge_logprob_bias=merge_logprob_bias,
+                  max_rounds=max_rounds)
+        if mc is None and me is None:
+            # exact mode: staged two-pass decode
+            label, root_class, is_inst = decode_on_device_staged(
+                cp, sp, num_classes, offsets, **kw)
+        else:
+            label, root_class, is_inst = decode_on_device(
+                cp, sp, num_classes, offsets, max_components=mc,
+                max_edges=me, **kw)
         mask, inst_class = relabel_mask(label, root_class, is_inst)
         # nearest-neighbor upsample back to full resolution
         full = jax.image.resize(mask.astype(jnp.int32), (H, W),
