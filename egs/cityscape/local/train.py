@@ -141,6 +141,23 @@ def main():
     print("Number of model parameters: {}".format(
         param_count(state.params)))
 
+    if args.pretrain:
+        # reference semantics: initialize the backbone from pretrained
+        # weights (models/resnet.py:214-222).  Zero-egress: looks for a
+        # local file under ./pretrained or $MERGENET_PRETRAINED_DIR
+        # (torchvision-style backbone or full reference checkpoint).
+        from mergenet_tpu.utils.weight_import import (
+            load_pretrained, resolve_pretrained_path)
+        ppath = resolve_pretrained_path(args.arch, args.pretrain)
+        if ppath:
+            params, batch_stats = load_pretrained(
+                state.params, state.batch_stats, ppath, args.arch)
+            state = state.replace(params=params, batch_stats=batch_stats)
+        else:
+            print("WARNING: --pretrain given but no local weights found "
+                  "(./pretrained or $MERGENET_PRETRAINED_DIR); "
+                  "training from scratch")
+
     if args.resume:
         state, meta = load_checkpoint(args.resume, state)
         args.start_epoch = meta.get("epoch", args.start_epoch) or 0

@@ -88,6 +88,18 @@ def main():
                                (1, args.crop_size, args.crop_size, 3))
     print("Number of model parameters: {}".format(param_count(state.params)))
 
+    if args.pretrain:
+        from mergenet_tpu.utils.weight_import import (
+            load_pretrained, resolve_pretrained_path)
+        ppath = resolve_pretrained_path(args.arch, args.pretrain)
+        if ppath:
+            params, batch_stats = load_pretrained(
+                state.params, state.batch_stats, ppath, args.arch)
+            state = state.replace(params=params, batch_stats=batch_stats)
+        else:
+            print("WARNING: --pretrain given but no local weights found; "
+                  "training from scratch")
+
     best_iou = float('-inf')
     if args.resume:
         state, meta = load_checkpoint(args.resume, state)

@@ -64,6 +64,135 @@ def _seg_min_scan(label, link, axis, reverse=False):
     return m
 
 
+def _log_domain(class_probs, sameness_probs, same_different_bias):
+    """Common per-pixel preprocessing: clipped log class probs and
+    sameness log-odds (with the optional logit-domain re-bias)."""
+    f32 = jnp.float32
+    eps = f32(1.1920929e-07)
+    cp = jnp.clip(class_probs.astype(f32), eps, 1.0 - eps)
+    sp = jnp.clip(sameness_probs.astype(f32), eps, 1.0 - eps)
+    if same_different_bias:
+        logit = (jnp.log(sp) - jnp.log1p(-sp) + same_different_bias)
+        sp = jnp.clip(jax.nn.sigmoid(logit), eps, 1.0 - eps)
+    cls_lp_pix = jnp.log(cp)                       # (H, W, C)
+    log_odds = jnp.log(sp) - jnp.log1p(-sp)        # (H, W, O)
+    return cls_lp_pix, log_odds
+
+
+def _shift2d(x, di, dj, fill):
+    """x shifted so out[i, j] = x[i + di, j + dj], out-of-range -> fill.
+    Uses rolls (layout-friendly on TPU) with border fix-up."""
+    H, W = x.shape[:2]
+    out = jnp.roll(jnp.roll(x, -di, axis=0), -dj, axis=1)
+    if di != 0:
+        rows = jnp.arange(H)[:, None]
+        ok = (rows + di >= 0) & (rows + di < H)
+        out = jnp.where(ok if out.ndim == 2 else ok[..., None], out, fill)
+    if dj != 0:
+        cols = jnp.arange(W)[None, :]
+        ok = (cols + dj >= 0) & (cols + dj < W)
+        out = jnp.where(ok if out.ndim == 2 else ok[..., None], out, fill)
+    return out
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("num_classes", "offsets", "den_mode",
+                     "same_different_bias", "object_merge_factor",
+                     "merge_logprob_bias"))
+def boruvka_rolls_round(class_probs, sameness_probs, num_classes, offsets,
+                        same_different_bias=0.0, object_merge_factor=1.0,
+                        merge_logprob_bias=0.0, den_mode="sum"):
+    """The FIRST aggregated-Boruvka round, computed entirely with rolls.
+
+    On singleton components every unordered pixel pair is linked by at most
+    one offset edge (`CoreConfig` forbids negated-pair offsets, reference
+    `utils/core_config.py:66-73`), so the per-edge merge priority IS the
+    aggregated pair priority and round 1 of `decode_on_device`'s phase 3
+    needs no sorts or segment ops at all: per-offset priority planes come
+    from rolls, each pixel hooks to its best non-negative partner
+    (ties -> larger partner id, exactly `round_body`'s segment_max
+    tie-break), 2-cycles resolve to the smaller id, and pointer jumping
+    contracts the hooking forest.  ~100x cheaper than the sort-based round
+    at full edge count.
+
+    Returns:
+        label: (H, W) int32 root PIXEL ids (self-rooted: label[root]==root),
+            directly usable as `decode_on_device(initial_labels=...)`.
+        n_comp: () int32 number of components.
+        n_ext: () int32 number of (pixel, offset) edges whose endpoints lie
+            in different components (the edge capacity needed by a
+            subsequent compaction pass).
+    """
+    H, W = class_probs.shape[:2]
+    N = H * W
+    f32 = jnp.float32
+    omf = f32(object_merge_factor)
+    bias = f32(merge_logprob_bias)
+    cls_lp_pix, log_odds = _log_domain(class_probs, sameness_probs,
+                                       same_different_bias)
+    best_pix = jnp.max(cls_lp_pix, axis=-1)        # (H, W)
+
+    pix_id = jnp.arange(N, dtype=jnp.int32).reshape(H, W)
+    best_pri = jnp.full((H, W), NEG_INF, f32)
+    best_partner = jnp.full((H, W), -1, jnp.int32)
+
+    def consider(pri, partner):
+        nonlocal best_pri, best_partner
+        take = (pri > best_pri) | ((pri == best_pri) &
+                                   (partner > best_partner))
+        best_pri = jnp.where(take, pri, best_pri)
+        best_partner = jnp.where(take, partner, best_partner)
+
+    for oi, (di, dj) in enumerate(offsets):
+        oml = log_odds[:, :, oi]
+        joint = jnp.max(cls_lp_pix + _shift2d(cls_lp_pix, di, dj, 0.0),
+                        axis=-1)
+        cdl = joint - best_pix - _shift2d(best_pix, di, dj, 0.0)
+        if den_mode == "sum":
+            pri = (oml * omf + cdl) / 2.0 + bias
+        else:
+            pri = oml * omf + cdl + bias
+        # forward edge p -> p+o
+        partner_fwd = _shift2d(pix_id, di, dj, -1)
+        consider(jnp.where(partner_fwd >= 0, pri, NEG_INF), partner_fwd)
+        # backward edge p -> p-o (the same edge seen from its other end)
+        pri_bwd = _shift2d(pri, -di, -dj, NEG_INF)
+        partner_bwd = _shift2d(pix_id, -di, -dj, -1)
+        consider(jnp.where(partner_bwd >= 0, pri_bwd, NEG_INF), partner_bwd)
+
+    hook = best_pri >= 0.0
+    parent = jnp.where(hook, best_partner, pix_id).reshape(-1)
+    # 2-cycle break (cycles longer than 2 are impossible under the
+    # larger-partner tie-break): smaller id becomes the root
+    ids = jnp.arange(N, dtype=jnp.int32)
+    parent = jnp.where((parent[parent] == ids) & (ids < parent), ids,
+                       parent)
+
+    n_jump_max = max(1, int(np.ceil(np.log2(max(N, 2)))))
+
+    def jump_cond(s):
+        p, changed, it = s
+        return changed & (it < n_jump_max)
+
+    def jump_body(s):
+        p, _, it = s
+        p2 = p[p]
+        return (p2, jnp.any(p2 != p), it + 1)
+
+    parent, _, _ = jax.lax.while_loop(
+        jump_cond, jump_body, (parent, jnp.asarray(True), 0))
+
+    label = parent.reshape(H, W)
+    n_comp = jnp.sum((parent == ids).astype(jnp.int32))
+    n_ext = jnp.zeros((), jnp.int32)
+    for (di, dj) in offsets:
+        other = _shift2d(label, di, dj, -1)
+        n_ext = n_ext + jnp.sum(((other >= 0) &
+                                 (other != label)).astype(jnp.int32))
+    return label, n_comp, n_ext
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("num_classes", "offsets", "den_mode", "max_rounds",
@@ -71,14 +200,15 @@ def _seg_min_scan(label, link, axis, reverse=False):
                      "object_merge_factor", "merge_logprob_bias",
                      "prune_threshold", "max_components", "max_edges",
                      "ccl_sweeps", "ccl_margin", "anneal_start",
-                     "anneal_halvings"))
+                     "anneal_halvings", "emit_stats"))
 def decode_on_device(class_probs, sameness_probs, num_classes, offsets,
                      same_different_bias=0.0, object_merge_factor=1.0,
                      merge_logprob_bias=0.0, den_mode="sum",
                      do_prune=False, prune_threshold=200.0,
                      max_rounds=64, max_components=None, max_edges=None,
                      ccl_sweeps=0, ccl_margin=0.0, anneal_start=32.0,
-                     anneal_halvings=0, initial_labels=None):
+                     anneal_halvings=0, initial_labels=None,
+                     emit_stats=False):
     """Decode one image into instances, entirely on device.
 
     Args:
@@ -104,11 +234,21 @@ def decode_on_device(class_probs, sameness_probs, num_classes, offsets,
             ("surely mergeable"; 2.0 ~ p(same) > 0.88).  Marginal edges are
             left to phase 3, which decides on aggregated pair evidence like
             the serial greedy.
-        initial_labels: optional (H, W) int32 starting component labels
-            (pixel ids); replaces the phase-1 flood fill.  Enables staged
-            decoding: run a few uncapped rounds, feed the labels back with
-            capacity caps so the compaction works on far fewer components
-            (see `run_segmentation_device(exact=True)`).
+        initial_labels: optional (H, W) int32 starting component labels;
+            replaces the phase-1 flood fill.  Labels must be root PIXEL
+            ids with the self-rooted property label.flat[root] == root
+            (what `boruvka_rolls_round` and `emit_stats=True` return).
+            Enables staged decoding: collapse singletons first, feed the
+            labels back with capacity caps so the compaction works on far
+            fewer components (see `run_segmentation_device(exact=True)`).
+        emit_stats: static; when True return
+            (pixel_labels, root_class, is_instance_root, done, n_comp,
+            n_ext) where pixel_labels are self-rooted root pixel ids
+            (chainable as initial_labels), done says the merge fixed point
+            was reached within max_rounds, and n_comp / n_ext are the live
+            component / external (pixel, offset) edge counts — what a
+            progressive-recompaction driver needs to pick the next stage's
+            capacities.
         anneal_start / anneal_halvings: phase-3 priority-threshold
             annealing: round r only applies merges with priority >=
             anneal_start * 0.5^r (0 after anneal_halvings rounds).  This
@@ -129,18 +269,11 @@ def decode_on_device(class_probs, sameness_probs, num_classes, offsets,
     N = H * W
     M = N if max_components is None else min(max_components, N)
     f32 = jnp.float32
-    eps = f32(1.1920929e-07)
     omf = f32(object_merge_factor)
     bias = f32(merge_logprob_bias)
 
-    cp = jnp.clip(class_probs.astype(f32), eps, 1.0 - eps)
-    sp = jnp.clip(sameness_probs.astype(f32), eps, 1.0 - eps)
-    if same_different_bias:
-        logit = (jnp.log(sp) - jnp.log1p(-sp) + same_different_bias)
-        sp = jnp.clip(jax.nn.sigmoid(logit), eps, 1.0 - eps)
-
-    cls_lp_pix = jnp.log(cp)                       # (H, W, C)
-    log_odds = jnp.log(sp) - jnp.log1p(-sp)        # (H, W, O)
+    cls_lp_pix, log_odds = _log_domain(class_probs, sameness_probs,
+                                       same_different_bias)
     argmax_pix = jnp.argmax(cls_lp_pix, axis=-1)   # (H, W)
 
     # ---------------- phase 1: segmented-scan flood fill ----------------
@@ -265,9 +398,13 @@ def decode_on_device(class_probs, sameness_probs, num_classes, offsets,
         flat = flat[flat]
         label = flat.reshape(H, W)
 
-    # densify component ids to [0, M)
+    # densify component ids to [0, M).  Labels are root pixel ids with
+    # label[root] == root (true for arange, for the flood fill — the
+    # min-scan gives every component its min pixel id, whose own label is
+    # itself — and for the documented initial_labels contract), so the
+    # representative test is a compare, not an N-sized scatter.
     flat = label.reshape(-1)
-    is_rep = jnp.zeros((N,), jnp.int32).at[flat].set(1)
+    is_rep = (flat == jnp.arange(N, dtype=flat.dtype)).astype(jnp.int32)
     dense = (jnp.cumsum(is_rep) - 1).astype(jnp.int32)  # rep pixel -> dense
     n_comp = dense[-1] + 1
     comp_of_pix = dense[flat]                  # (N,) in [0, n_comp)
@@ -328,7 +465,15 @@ def decode_on_device(class_probs, sameness_probs, num_classes, offsets,
         live = e_live & (lo != hi) & ~frozen[lo] & ~frozen[hi]
         lo_k = jnp.where(live, lo, M)
         hi_k = jnp.where(live, hi, M)
-        lo_s, hi_s, oml_s = jax.lax.sort((lo_k, hi_k, eo), num_keys=2)
+        if (M + 1) * (M + 1) - 1 <= 2 ** 31 - 1:
+            # pack the pair into one int32 key: a 1-key 2-array sort is
+            # substantially cheaper than the 2-key 3-array one
+            key = lo_k * (M + 1) + hi_k
+            key_s, oml_s = jax.lax.sort((key, eo), num_keys=1)
+            lo_s = key_s // (M + 1)
+            hi_s = key_s % (M + 1)
+        else:
+            lo_s, hi_s, oml_s = jax.lax.sort((lo_k, hi_k, eo), num_keys=2)
 
         first = jnp.concatenate([
             jnp.ones((1,), bool),
@@ -405,8 +550,8 @@ def decode_on_device(class_probs, sameness_probs, num_classes, offsets,
 
     state = (ea, eb, comp_ids, cls_lp, size, frozen,
              jnp.asarray(False), jnp.asarray(0))
-    ea, eb, total_map, cls_lp, size, frozen, _, rounds = jax.lax.while_loop(
-        cond, round_body, state)
+    (ea, eb, total_map, cls_lp, size, frozen, done,
+     rounds) = jax.lax.while_loop(cond, round_body, state)
 
     comp = total_map[comp2d.reshape(-1)].reshape(H, W)
     root_class = jnp.argmax(cls_lp, axis=1).astype(jnp.int32)
@@ -429,7 +574,23 @@ def decode_on_device(class_probs, sameness_probs, num_classes, offsets,
     # emitting them as instances would spray fragments — fold them into
     # background instead (under-segmentation beats garbage instances)
     is_instance_root = is_root & (root_class != 0) & ~frozen
-    return comp, root_class, is_instance_root
+    if not emit_stats:
+        return comp, root_class, is_instance_root
+
+    # progressive-recompaction stats: self-rooted pixel labels (chainable
+    # as initial_labels) + live component / external edge counts
+    comp_flat = comp.reshape(-1)
+    rep_pixel = jax.ops.segment_min(
+        jnp.arange(N, dtype=jnp.int32), comp_flat, num_segments=M)
+    pixel_labels = rep_pixel[comp_flat].reshape(H, W)
+    n_live = jnp.sum(is_root.astype(jnp.int32))
+    n_ext = jnp.zeros((), jnp.int32)
+    for (di, dj) in offsets:
+        other = _shift2d(pixel_labels, di, dj, -1)
+        n_ext = n_ext + jnp.sum(((other >= 0) &
+                                 (other != pixel_labels)).astype(jnp.int32))
+    return (comp, root_class, is_instance_root, pixel_labels, done,
+            n_live, n_ext)
 
 
 @jax.jit
@@ -456,14 +617,17 @@ def relabel_mask(label, root_class, is_instance_root):
 
 
 def decode_on_device_staged(class_probs, sameness_probs, num_classes,
-                            offsets, stage1_rounds=8, stage2_components=8,
-                            stage2_edges=2, **kw):
-    """Exact decode in two stages: a few uncapped Boruvka rounds collapse
-    the half-million singleton components (each round at full edge count,
-    ~0.25 s at 512x1024), then the labels feed a second capped pass whose
-    compaction works on the few thousand surviving components (cheap
-    rounds).  ~5x faster than single-pass exact with identical results on
-    convergent inputs.
+                            offsets, stage2_components=8, stage2_edges=2,
+                            **kw):
+    """Exact decode in two stages inside one traceable computation: the
+    rolls-only first Boruvka round collapses the half-million singleton
+    components with no sorts (`boruvka_rolls_round`), then the labels feed
+    a capped aggregated pass whose compaction works on the few surviving
+    components.  Identical results to the single-pass exact decode on
+    inputs whose round-1 contraction fits the stage-2 capacities
+    (overflowing components freeze into background — raise the divisors
+    if that ever fires; `run_segmentation_device` instead measures the
+    counts and picks overflow-proof capacities).
 
     stage2_components / stage2_edges: capacity divisors for the second
     pass (N // stage2_components, N // stage2_edges)."""
@@ -472,12 +636,10 @@ def decode_on_device_staged(class_probs, sameness_probs, num_classes,
     kw.pop("initial_labels", None)
     kw.pop("max_components", None)
     kw.pop("max_edges", None)
-    kw1 = dict(kw)
-    kw1.pop("max_rounds", None)
-    kw1.pop("do_prune", None)
-    lab1, _, _ = decode_on_device(
-        class_probs, sameness_probs, num_classes, offsets,
-        max_rounds=stage1_rounds, ccl_sweeps=0, do_prune=False, **kw1)
+    kw1 = {k: kw[k] for k in ("same_different_bias", "object_merge_factor",
+                              "merge_logprob_bias", "den_mode") if k in kw}
+    lab1, _, _ = boruvka_rolls_round(
+        class_probs, sameness_probs, num_classes, offsets, **kw1)
     return decode_on_device(
         class_probs, sameness_probs, num_classes, offsets,
         initial_labels=lab1,
@@ -487,13 +649,36 @@ def decode_on_device_staged(class_probs, sameness_probs, num_classes,
 
 def decode_on_device_batch(class_probs, sameness_probs, num_classes,
                            offsets, **kw):
-    """Batched decode: (B, H, W, C)/(B, H, W, O) -> (masks, inst_classes)
-    via vmap — one device dispatch for the whole batch (amortizes the
-    per-call host/relay overhead on top of per-image compute)."""
-    decode = jax.vmap(lambda c, s: decode_on_device(
-        c, s, num_classes, tuple(offsets), **kw))
-    labels, root_classes, is_inst = decode(class_probs, sameness_probs)
-    return jax.vmap(relabel_mask)(labels, root_classes, is_inst)
+    """Batched decode: (B, H, W, C)/(B, H, W, O) -> (masks, inst_classes).
+
+    Uses `lax.map` (a sequential scan over the batch in ONE device
+    dispatch), NOT vmap: a vmapped `lax.while_loop` couples convergence
+    across the batch — every image pays the slowest image's round count
+    times the whole batch's per-round cost — and measured slower per frame
+    than unbatched decode.  lax.map runs each image's loop independently,
+    so per-frame compute matches B=1 while the per-dispatch host/relay
+    overhead (~29 ms on this backend) is paid once per batch."""
+
+    def one(args):
+        c, s = args
+        if kw.get("max_components") is None and kw.get("max_edges") is None:
+            label, root_class, is_inst = decode_on_device_staged(
+                c, s, num_classes, tuple(offsets),
+                **{k: v for k, v in kw.items()
+                   if k not in ("max_components", "max_edges")})
+        else:
+            label, root_class, is_inst = decode_on_device(
+                c, s, num_classes, tuple(offsets), **kw)
+        return relabel_mask(label, root_class, is_inst)
+
+    return jax.lax.map(one, (class_probs, sameness_probs))
+
+
+def _bucket(n, floor):
+    """Next power of two >= max(n, floor) — static jit capacities from
+    measured counts (bucketing bounds the number of compilations)."""
+    n = max(int(n), floor, 1)
+    return 1 << int(np.ceil(np.log2(n)))
 
 
 def run_segmentation_device(class_probs, sameness_probs, num_classes,
@@ -501,26 +686,58 @@ def run_segmentation_device(class_probs, sameness_probs, num_classes,
                             object_merge_factor=1.0, merge_logprob_bias=0.0,
                             den_mode="sum", do_prune=False,
                             prune_threshold=200.0, max_rounds=48,
-                            max_components=None, max_edges=None):
+                            max_components=None, max_edges=None,
+                            rounds_per_stage=8):
     """Host-friendly wrapper with the csegment.run_segmentation signature:
     accepts channel-first (C, H, W)/(O, H, W) numpy arrays and returns
-    (mask, object_class list)."""
+    (mask, object_class list).
+
+    Default (no capacity caps) = EXACT mode with progressive
+    recompaction: the rolls-only round collapses singletons, then capped
+    aggregated stages run with capacities bucketed from the MEASURED
+    component/edge counts — overflow-proof (no frozen components, unlike
+    static caps), and each stage's sorts shrink with the survivor count.
+    Passing max_components/max_edges selects the single-pass capped
+    (throughput) mode instead."""
     cp = np.moveaxis(np.asarray(class_probs), 0, -1)
     sp = np.moveaxis(np.asarray(sameness_probs), 0, -1)
-    kw = dict(same_different_bias=same_different_bias,
-              object_merge_factor=object_merge_factor,
-              merge_logprob_bias=merge_logprob_bias, den_mode=den_mode,
-              do_prune=do_prune, prune_threshold=prune_threshold,
-              max_rounds=max_rounds)
-    if max_components is None and max_edges is None:
-        # exact mode: two-stage decode (see decode_on_device_staged)
-        label, root_class, is_inst = decode_on_device_staged(
-            jnp.asarray(cp), jnp.asarray(sp), num_classes, tuple(offsets),
-            **kw)
-    else:
+    cp, sp = jnp.asarray(cp), jnp.asarray(sp)
+    offsets = tuple(offsets)
+    hyper = dict(same_different_bias=same_different_bias,
+                 object_merge_factor=object_merge_factor,
+                 merge_logprob_bias=merge_logprob_bias, den_mode=den_mode)
+    if max_components is not None or max_edges is not None:
         label, root_class, is_inst = decode_on_device(
-            jnp.asarray(cp), jnp.asarray(sp), num_classes, tuple(offsets),
-            max_components=max_components, max_edges=max_edges, **kw)
+            cp, sp, num_classes, offsets,
+            max_components=max_components, max_edges=max_edges,
+            do_prune=do_prune, prune_threshold=prune_threshold,
+            max_rounds=max_rounds, **hyper)
+    else:
+        label, n_comp, n_ext = boruvka_rolls_round(
+            cp, sp, num_classes, offsets, **hyper)
+        n_comp, n_ext = int(n_comp), int(n_ext)
+        rounds_left = max_rounds
+        while True:
+            chunk = min(rounds_per_stage, max(rounds_left, 1))
+            (comp, root_class, is_inst, label, done, n_comp_d,
+             n_ext_d) = decode_on_device(
+                cp, sp, num_classes, offsets, initial_labels=label,
+                max_components=_bucket(n_comp, 4096),
+                max_edges=_bucket(n_ext, 16384),
+                max_rounds=chunk, emit_stats=True, **hyper)
+            n_comp, n_ext = int(n_comp_d), int(n_ext_d)
+            rounds_left -= chunk
+            if bool(done) or rounds_left <= 0:
+                break
+        if do_prune:
+            # prune only once the merge fixed point is reached (pruning
+            # mid-decode would corrupt later aggregation)
+            comp, root_class, is_inst = decode_on_device(
+                cp, sp, num_classes, offsets, initial_labels=label,
+                max_components=_bucket(n_comp, 4096),
+                max_edges=_bucket(n_ext, 16384), max_rounds=1,
+                do_prune=True, prune_threshold=prune_threshold, **hyper)
+        label = comp
     mask, inst_class = relabel_mask(label, root_class, is_inst)
     mask = np.asarray(mask)
     inst_class = np.asarray(inst_class)

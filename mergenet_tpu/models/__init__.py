@@ -35,8 +35,11 @@ def get_model(num_classes, num_offsets, arch, pretrain=False,
     mixed-precision training — params and BN stats stay float32, logits are
     cast back to float32).
 
-    `pretrain` is accepted for API parity; pretrained-weight import is done
-    separately via `mergenet_tpu.utils.checkpoint.import_torch_checkpoint`.
+    `pretrain` is accepted for API parity; Flax modules hold no state, so
+    weights load at init time: `utils.weight_import.load_pretrained(params,
+    batch_stats, path, arch)` maps torch checkpoints (torchvision-style
+    backbones or full reference state dicts) onto the param trees — the
+    train CLI wires `--pretrain` to it via `resolve_pretrained_path`.
     """
     if arch not in VALID_ARCHS:
         raise ValueError("Supported models are: {}\nbut given {}".format(

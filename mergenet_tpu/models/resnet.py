@@ -6,6 +6,12 @@ Covers both reference backbones: torchvision-style ResNet (used by
 variant (`models/resnet.py:104-222`, used by UperNet).  Stage dilations
 (2, 4) reproduce the dilated ResNet101 of the caffe PSPNet
 (`models/pspnet_caffe.py:283-286`).
+
+Strided convs/pools use explicit symmetric padding, not "SAME": flax SAME
+pads asymmetrically at even input sizes under stride 2 (e.g. (2, 3) for
+the 7x7 stem), while torch pads k//2 on both sides — symmetric padding is
+required for numerical parity with imported torch checkpoints
+(`utils/weight_import.py`).
 """
 
 from typing import Optional, Sequence, Tuple
@@ -35,13 +41,14 @@ class BasicBlock(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = True):
         residual = x
+        pad = ((self.dilation,) * 2,) * 2
         y = nn.Conv(self.features, (3, 3), strides=(self.stride,) * 2,
-                    kernel_dilation=(self.dilation,) * 2, padding="SAME",
+                    kernel_dilation=(self.dilation,) * 2, padding=pad,
                     use_bias=False, dtype=self.dtype)(x)
         y = SyncBatchNorm(axis_name=self.axis_name, dtype=self.dtype)(y, train)
         y = nn.relu(y)
         y = nn.Conv(self.features, (3, 3),
-                    kernel_dilation=(self.dilation,) * 2, padding="SAME",
+                    kernel_dilation=(self.dilation,) * 2, padding=pad,
                     use_bias=False, dtype=self.dtype)(y)
         y = SyncBatchNorm(axis_name=self.axis_name, dtype=self.dtype)(y, train)
         if residual.shape != y.shape:
@@ -67,7 +74,8 @@ class Bottleneck(nn.Module):
         y = SyncBatchNorm(axis_name=self.axis_name, dtype=self.dtype)(y, train)
         y = nn.relu(y)
         y = nn.Conv(self.features, (3, 3), strides=(self.stride,) * 2,
-                    kernel_dilation=(self.dilation,) * 2, padding="SAME",
+                    kernel_dilation=(self.dilation,) * 2,
+                    padding=((self.dilation,) * 2,) * 2,
                     use_bias=False, dtype=self.dtype)(y)
         y = SyncBatchNorm(axis_name=self.axis_name, dtype=self.dtype)(y, train)
         y = nn.relu(y)
@@ -102,7 +110,8 @@ class ResNetBackbone(nn.Module):
 
         if self.deep_stem:
             # 3x conv3x3 stem (reference models/resnet.py:109-118)
-            x = nn.Conv(64, (3, 3), strides=(2, 2), padding="SAME",
+            x = nn.Conv(64, (3, 3), strides=(2, 2),
+                        padding=((1, 1), (1, 1)),
                         use_bias=False, dtype=self.dtype)(x)
             x = nn.relu(bn()(x, train))
             x = nn.Conv(64, (3, 3), padding="SAME", use_bias=False, dtype=self.dtype)(x)
@@ -110,10 +119,11 @@ class ResNetBackbone(nn.Module):
             x = nn.Conv(128, (3, 3), padding="SAME", use_bias=False, dtype=self.dtype)(x)
             x = nn.relu(bn()(x, train))
         else:
-            x = nn.Conv(64, (7, 7), strides=(2, 2), padding="SAME",
+            x = nn.Conv(64, (7, 7), strides=(2, 2),
+                        padding=((3, 3), (3, 3)),
                         use_bias=False, dtype=self.dtype)(x)
             x = nn.relu(bn()(x, train))
-        x = max_pool(x, window=3, stride=2, padding="SAME")
+        x = max_pool(x, window=3, stride=2, padding=((1, 1), (1, 1)))
 
         features = []
         widths = (64, 128, 256, 512)

@@ -1,0 +1,261 @@
+"""Map reference torch checkpoints onto the Flax model trees.
+
+The reference trains from torchvision / MIT-sceneparsing pretrained ResNets
+(`/root/reference/models/resnet.py:21-24,214-222`) and saves full-model
+state dicts via `save_checkpoint` (`utils/train_utils.py:286-295`).  This
+module turns the flat torch-keyed dict produced by
+`checkpoint.import_torch_checkpoint` (conv kernels already HWIO) into
+`(params, batch_stats)` updates for our Flax modules, so
+
+  * reference-trained `.pth.tar` checkpoints run through the TPU stack
+    (forward-parity validation, SURVEY §7 step 4), and
+  * ImageNet-pretrained backbones initialize training
+    (`get_model(..., pretrain=...)` / `train.py --pretrain`).
+
+The mapping is generated programmatically from the arch metadata — one
+(torch module prefix, flax path, kind) entry per conv/BN — and applied
+with shape checks.  Kinds ending in '?' are optional (torch downsample
+branches exist only on shape-changing blocks).
+"""
+
+import os
+
+import numpy as np
+
+from ..models.resnet import STAGE_BLOCKS, EXPANSION
+
+# leaf-name translation
+_CONV_LEAVES = {"weight": ("params", "kernel"), "bias": ("params", "bias")}
+_BN_LEAVES = {
+    "weight": ("params", "scale"),
+    "bias": ("params", "bias"),
+    "running_mean": ("batch_stats", "mean"),
+    "running_var": ("batch_stats", "var"),
+}
+
+
+def resnet_mapping(layer, deep_stem=False, tpre="", fpre=""):
+    """(torch prefix, flax prefix, kind) entries for a ResNet backbone.
+
+    torch naming follows torchvision (`conv1/bn1/layer{1..4}.{i}.conv{j}`)
+    or the reference deep-stem variant (`conv1..3/bn1..3`, reference
+    `models/resnet.py:109-118`); flax naming follows
+    `models/resnet.py::ResNetBackbone` (blocks auto-numbered flat across
+    stages)."""
+    m = []
+    if deep_stem:
+        for i in range(3):
+            m.append((tpre + "conv{}".format(i + 1),
+                      fpre + "Conv_{}".format(i), "conv"))
+            m.append((tpre + "bn{}".format(i + 1),
+                      fpre + "SyncBatchNorm_{}".format(i), "bn"))
+    else:
+        m.append((tpre + "conv1", fpre + "Conv_0", "conv"))
+        m.append((tpre + "bn1", fpre + "SyncBatchNorm_0", "bn"))
+    blocks = STAGE_BLOCKS[layer]
+    basic = EXPANSION[layer] == 1
+    block_name = "BasicBlock_{}" if basic else "Bottleneck_{}"
+    n_conv = 2 if basic else 3
+    j = 0
+    for s in range(4):
+        for i in range(blocks[s]):
+            tb = tpre + "layer{}.{}.".format(s + 1, i)
+            fb = fpre + block_name.format(j) + "/"
+            for c in range(n_conv):
+                m.append((tb + "conv{}".format(c + 1),
+                          fb + "Conv_{}".format(c), "conv"))
+                m.append((tb + "bn{}".format(c + 1),
+                          fb + "SyncBatchNorm_{}".format(c), "bn"))
+            m.append((tb + "downsample.0",
+                      fb + "Conv_{}".format(n_conv), "conv?"))
+            m.append((tb + "downsample.1",
+                      fb + "SyncBatchNorm_{}".format(n_conv), "bn?"))
+            j += 1
+    return m
+
+
+def _ppm_mapping(tpre="ppm.", fpre="PyramidPoolingModule_0/", n_pools=4):
+    """torch `ppm.features.{k}` = Sequential(pool, conv, bn, relu)
+    (reference `models/pspnet.py:13-21`)."""
+    m = []
+    for k in range(n_pools):
+        m.append((tpre + "features.{}.1".format(k),
+                  fpre + "Conv_{}".format(k), "conv"))
+        m.append((tpre + "features.{}.2".format(k),
+                  fpre + "SyncBatchNorm_{}".format(k), "bn"))
+    return m
+
+
+def _fpn_mapping(tpre="fpn_module.", fpre="FPNModule_0/", n_levels=4):
+    """torch FPNModule naming (reference `models/pspnet.py:39-64`)."""
+    m = []
+    for k in range(n_levels):
+        m.append((tpre + "fpn_in.{}.0".format(k),
+                  fpre + "fpn_in_{}".format(k), "conv"))
+        m.append((tpre + "fpn_out.{}.0".format(k),
+                  fpre + "fpn_out_{}".format(k), "conv"))
+    m.append((tpre + "final_conv.0", fpre + "Conv_0", "conv"))
+    m.append((tpre + "final_conv.1", fpre + "SyncBatchNorm_0", "bn"))
+    m.append((tpre + "final_conv.3", fpre + "Conv_1", "conv"))
+    return m
+
+
+def model_mapping(arch, layer=None):
+    """Full-model mapping for a reference checkpoint of `arch`."""
+    if "fpnet" in arch:
+        layer = layer or 50
+        return (resnet_mapping(layer, False, "resnet.",
+                               "ResNetBackbone_0/")
+                + _ppm_mapping() + _fpn_mapping())
+    if arch == "upernet":
+        layer = layer or 50
+        return (resnet_mapping(layer, True, "resnet.",
+                               "ResNetBackbone_0/")
+                + _ppm_mapping() + _fpn_mapping())
+    if arch.startswith("fcn") and "resnet" in arch:
+        layer = layer or int(arch.split("resnet")[1])
+        m = resnet_mapping(layer, False, "resnet.", "ResNetBackbone_0/")
+        # score heads (reference models/fcn.py:20-28; ours fcn.py)
+        scale = int(arch.split("_")[0][3:])
+        m.append(("score_32s", "score_32s", "conv"))
+        if scale <= 16:
+            m.append(("score_16s", "score_16s", "conv"))
+        if scale <= 8:
+            m.append(("score_8s", "score_8s", "conv"))
+        return m
+    raise ValueError("no torch mapping for arch '{}'".format(arch))
+
+
+def backbone_mapping(arch, layer=None):
+    """Backbone-only mapping for a PLAIN torchvision-style ResNet state
+    dict (keys `conv1...` with no `resnet.` prefix) — the pretrained-
+    weights format the reference downloads (`models/resnet.py:214-222`)."""
+    if "fpnet" in arch or arch.startswith("fcn"):
+        layer = layer or (50 if "fpnet" in arch
+                          else int(arch.split("resnet")[1]))
+        return resnet_mapping(layer, False, "", "ResNetBackbone_0/")
+    if arch in ("upernet", "pspnet"):
+        layer = layer or (50 if arch == "upernet" else 101)
+        return resnet_mapping(layer, True, "", "ResNetBackbone_0/")
+    raise ValueError("no backbone mapping for arch '{}'".format(arch))
+
+
+def _get_path(tree, path):
+    node = tree
+    for part in path.split("/"):
+        if node is None or part not in node:
+            return None
+        node = node[part]
+    return node
+
+
+def _set_path(tree, path, leaf, value):
+    node = tree
+    parts = path.split("/")
+    for part in parts:
+        node = node[part]
+    if leaf not in node:
+        raise KeyError("flax leaf {}/{} not found".format(path, leaf))
+    old = node[leaf]
+    if tuple(old.shape) != tuple(value.shape):
+        raise ValueError("shape mismatch at {}/{}: flax {} vs torch {}"
+                         .format(path, leaf, old.shape, value.shape))
+    node[leaf] = value.astype(np.asarray(old).dtype)
+
+
+def _to_mutable(tree):
+    if hasattr(tree, "unfreeze"):
+        tree = tree.unfreeze()
+    return {k: _to_mutable(v) if isinstance(v, dict) or hasattr(v, "keys")
+            else v for k, v in dict(tree).items()}
+
+
+def apply_torch_weights(params, batch_stats, flat, mapping):
+    """Copy `flat` (torch-keyed, convs HWIO) into the Flax trees.
+
+    Returns (params, batch_stats, report) where report lists loaded /
+    skipped-optional entries and torch keys that were never consumed.
+    Raises on a required entry missing from `flat` or on shape mismatch.
+    """
+    params = _to_mutable(params)
+    batch_stats = _to_mutable(batch_stats)
+    used = set()
+    loaded, skipped = [], []
+    for tpre, fpath, kind in mapping:
+        optional = kind.endswith("?")
+        kind = kind.rstrip("?")
+        leaves = _CONV_LEAVES if kind == "conv" else _BN_LEAVES
+        present = any(tpre + "." + ln in flat for ln in leaves)
+        if not present:
+            if optional:
+                skipped.append(tpre)
+                continue
+            raise KeyError("torch checkpoint is missing '{}.*'".format(tpre))
+        # BN path: flax nests the actual BatchNorm one level down
+        fp = fpath + "/BatchNorm_0" if kind == "bn" else fpath
+        for ln, (coll, fl) in leaves.items():
+            tk = tpre + "." + ln
+            if tk not in flat:
+                continue  # e.g. bias-free conv
+            tree = params if coll == "params" else batch_stats
+            _set_path(tree, fp, fl, np.asarray(flat[tk]))
+            used.add(tk)
+        loaded.append(tpre)
+    report = {
+        "loaded": loaded,
+        "skipped_optional": skipped,
+        "unused_torch_keys": sorted(
+            k for k in flat
+            if k not in used and not k.startswith("fc.")
+            and ".num_batches_tracked" not in k),
+    }
+    return params, batch_stats, report
+
+
+def load_pretrained(params, batch_stats, path, arch, layer=None,
+                    verbose=True):
+    """Load a local torch checkpoint file into (params, batch_stats).
+
+    Auto-detects the format: keys starting with `resnet.` = a full
+    reference model checkpoint (`model_mapping`); otherwise a plain
+    torchvision-style backbone (`backbone_mapping`).  Returns the updated
+    trees."""
+    from .checkpoint import import_torch_checkpoint
+    flat, _ = import_torch_checkpoint(path)
+    full = any(k.startswith("resnet.") for k in flat)
+    mapping = (model_mapping(arch, layer) if full
+               else backbone_mapping(arch, layer))
+    params, batch_stats, report = apply_torch_weights(
+        params, batch_stats, flat, mapping)
+    if verbose:
+        print("loaded {} torch modules from {} ({} mode); {} unused keys"
+              .format(len(report["loaded"]), path,
+                      "full-model" if full else "backbone",
+                      len(report["unused_torch_keys"])))
+    return params, batch_stats
+
+
+def resolve_pretrained_path(arch, pretrain):
+    """Reference-compatible pretrained-weights lookup: `pretrain` may be a
+    path, or True to search `./pretrained/` (the reference's download cache
+    dir, `models/resnet.py:214-222`) and `$MERGENET_PRETRAINED_DIR`."""
+    if isinstance(pretrain, str):
+        return pretrain
+    if not pretrain:
+        return None
+    layer = 50
+    if "resnet" in arch:
+        layer = int(arch.split("resnet")[1])
+    elif arch == "pspnet":
+        layer = 101
+    names = ["{}.pth.tar".format(arch), "{}.pth".format(arch),
+             "resnet{}.pth.tar".format(layer), "resnet{}.pth".format(layer)]
+    dirs = [os.environ.get("MERGENET_PRETRAINED_DIR", ""), "./pretrained"]
+    for d in dirs:
+        if not d:
+            continue
+        for n in names:
+            p = os.path.join(d, n)
+            if os.path.exists(p):
+                return p
+    return None

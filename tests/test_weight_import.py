@@ -1,0 +1,135 @@
+"""Torch-checkpoint -> Flax weight import: end-to-end forward parity.
+
+Validates `utils/weight_import` against randomly-initialized torch models
+with reference-compatible state-dict naming (tests/torch_twin.py) — the
+zero-egress stand-in for real reference checkpoints (VERDICT round 1,
+missing #2; reference `models/resnet.py:214-222`, `models/pspnet.py:89-140`).
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+torch = pytest.importorskip("torch")
+
+from mergenet_tpu.models import init_model
+from mergenet_tpu.models.resnet import ResNetBackbone
+from mergenet_tpu.models.pspnet import PSPFPNet, UperNet
+from mergenet_tpu.utils.checkpoint import import_torch_checkpoint
+from mergenet_tpu.utils.weight_import import (
+    apply_torch_weights, model_mapping, load_pretrained,
+    resnet_mapping, resolve_pretrained_path)
+
+from torch_twin import TorchResNet, TorchPSPFPNet
+
+
+def _randomize(model, seed=0):
+    """Randomize parameters AND buffers so a misplaced tensor cannot hide
+    behind torch's uniform BN defaults."""
+    g = torch.Generator().manual_seed(seed)
+    with torch.no_grad():
+        for p in model.parameters():
+            p.copy_(torch.randn(p.shape, generator=g) * 0.05)
+        for b in model.buffers():
+            if b.dtype.is_floating_point:
+                b.copy_(torch.rand(b.shape, generator=g) + 0.5)
+    return model
+
+
+def _save(tmp_path, model, name="ckpt.pth.tar"):
+    path = os.path.join(str(tmp_path), name)
+    torch.save({"model_state": model.state_dict()}, path)
+    return path
+
+
+def _torch_forward(model, x_nhwc):
+    model.eval()
+    with torch.no_grad():
+        out = model(torch.from_numpy(np.transpose(x_nhwc, (0, 3, 1, 2))))
+    if isinstance(out, (list, tuple)):
+        return [np.transpose(o.numpy(), (0, 2, 3, 1)) for o in out]
+    return np.transpose(out.numpy(), (0, 2, 3, 1))
+
+
+def test_resnet50_backbone_forward_parity(tmp_path):
+    tm = _randomize(TorchResNet((3, 4, 6, 3)))
+    path = _save(tmp_path, tm)
+    flat, _ = import_torch_checkpoint(path)
+
+    fm = ResNetBackbone(layer=50)
+    params, bs = init_model(fm, jax.random.PRNGKey(0), (1, 64, 64, 3))
+    params, bs, report = apply_torch_weights(
+        params, bs, flat, resnet_mapping(50))
+    assert not report["unused_torch_keys"], report["unused_torch_keys"]
+
+    x = np.random.RandomState(0).randn(1, 64, 64, 3).astype(np.float32)
+    ref = _torch_forward(tm, x)
+    got = fm.apply({"params": params, "batch_stats": bs},
+                   jnp.asarray(x), train=False)
+    for r, g in zip(ref, got):
+        np.testing.assert_allclose(np.asarray(g), r, rtol=1e-4, atol=1e-4)
+
+
+def test_pspfpnet_full_checkpoint_parity(tmp_path):
+    tm = _randomize(TorchPSPFPNet(5, (3, 4, 6, 3), fpn_dim=64))
+    path = _save(tmp_path, tm)
+
+    fm = PSPFPNet(5, layer=50, fpn_dim=64)
+    params, bs = init_model(fm, jax.random.PRNGKey(0), (1, 96, 96, 3))
+    params, bs = load_pretrained(params, bs, path, "pspfpnet",
+                                 verbose=False)
+
+    x = np.random.RandomState(1).randn(1, 96, 96, 3).astype(np.float32)
+    ref = _torch_forward(tm, x)
+    got = fm.apply({"params": params, "batch_stats": bs},
+                   jnp.asarray(x), train=False)
+    np.testing.assert_allclose(np.asarray(got), ref, rtol=1e-4, atol=1e-4)
+
+
+def test_upernet_deep_stem_checkpoint_parity(tmp_path):
+    tm = _randomize(TorchPSPFPNet(4, (3, 4, 6, 3), fpn_dim=64,
+                                  deep_stem=True), seed=2)
+    path = _save(tmp_path, tm)
+
+    fm = UperNet(4, layer=50, fpn_dim=64)
+    params, bs = init_model(fm, jax.random.PRNGKey(0), (1, 96, 96, 3))
+    flat, _ = import_torch_checkpoint(path)
+    params, bs, report = apply_torch_weights(params, bs, flat,
+                                             model_mapping("upernet"))
+    assert not report["unused_torch_keys"], report["unused_torch_keys"]
+
+    x = np.random.RandomState(2).randn(1, 96, 96, 3).astype(np.float32)
+    ref = _torch_forward(tm, x)
+    got = fm.apply({"params": params, "batch_stats": bs},
+                   jnp.asarray(x), train=False)
+    np.testing.assert_allclose(np.asarray(got), ref, rtol=1e-4, atol=1e-4)
+
+
+def test_backbone_only_pretrain_into_full_model(tmp_path):
+    """The `--pretrain` path: plain torchvision-style backbone checkpoint
+    loads into the backbone subtree of a full model; head stays intact."""
+    tm = _randomize(TorchResNet((3, 4, 6, 3)), seed=3)
+    path = _save(tmp_path, tm, "resnet50.pth.tar")
+
+    fm = PSPFPNet(5, layer=50, fpn_dim=64)
+    params, bs = init_model(fm, jax.random.PRNGKey(0), (1, 64, 64, 3))
+    head_before = jax.tree_util.tree_leaves(params["FPNModule_0"])
+    params2, bs2 = load_pretrained(params, bs, path, "pspfpnet",
+                                   verbose=False)
+    head_after = jax.tree_util.tree_leaves(params2["FPNModule_0"])
+    for a, b in zip(head_before, head_after):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    stem = params2["ResNetBackbone_0"]["Conv_0"]["kernel"]
+    ref_stem = np.transpose(tm.conv1.weight.detach().numpy(), (2, 3, 1, 0))
+    np.testing.assert_allclose(np.asarray(stem), ref_stem, rtol=1e-6)
+
+    # resolve_pretrained_path finds it via env dir
+    os.environ["MERGENET_PRETRAINED_DIR"] = str(tmp_path)
+    try:
+        assert resolve_pretrained_path("pspfpnet", True) == path
+    finally:
+        del os.environ["MERGENET_PRETRAINED_DIR"]
