@@ -193,6 +193,141 @@ def boruvka_rolls_round(class_probs, sameness_probs, num_classes, offsets,
     return label, n_comp, n_ext
 
 
+
+
+def _flood_fill(argmax_pix, log_odds, offsets, den_mode, omf, bias,
+                ccl_sweeps, ccl_margin):
+    """Segmented-scan flood fill over strong unit-stride edges.
+
+    An edge is *strong* when both pixels share an argmax class (class
+    delta = 0) and its pixel-level priority is non-negative with log-odds
+    above `ccl_margin`; with a positive margin an erosion guard keeps any
+    pixel with one weak short-offset edge out of the flood (fuzzy boundary
+    rings are left to the aggregated phases).  Connected runs collapse via
+    segmented min-scans along rows and columns — pure vector work.
+    Returns self-rooted root-pixel-id labels (H, W) int32."""
+    H, W = argmax_pix.shape
+    N = H * W
+    label = jnp.arange(N, dtype=jnp.int32).reshape(H, W)
+    if not ccl_sweeps:
+        return label
+
+
+    def strong_edge(oi, di, dj):
+        """(H, W) bool: strong edge from (i, j) to (i+di, j+dj)."""
+        same_cls = argmax_pix == jnp.roll(
+            jnp.roll(argmax_pix, -di, axis=0), -dj, axis=1)
+        oml = log_odds[:, :, oi]
+        if den_mode == "sum":
+            pri = oml * omf / 2.0 + bias
+        else:
+            pri = (oml * omf + bias)
+        ok = same_cls & (pri >= 0.0) & (oml > ccl_margin)
+        # border validity
+        if di > 0:
+            ok = ok & (jnp.arange(H)[:, None] < H - di)
+        elif di < 0:
+            ok = ok & (jnp.arange(H)[:, None] >= -di)
+        if dj > 0:
+            ok = ok & (jnp.arange(W)[None, :] < W - dj)
+        elif dj < 0:
+            ok = ok & (jnp.arange(W)[None, :] >= -dj)
+        return ok
+
+    offs = list(offsets)
+
+    def smallest_axis_offset(axis):
+        """The smallest purely-horizontal (axis=1) or purely-vertical
+        (axis=0) offset in the set — the offset grids need not contain
+        (0,1)/(1,0) (e.g. generate_offsets(80, 10) yields (0, 2))."""
+        cands = [(i, o) for i, o in enumerate(offs)
+                 if o[1 - axis] == 0 and o[axis] != 0]
+        if not cands:
+            return None
+        return min(cands, key=lambda t: abs(t[1][axis]))
+
+    def axis_links(axis):
+        """Forward/backward link planes for stride-s segmented scans along
+        `axis`, plus the stride s.  S[..pos..] is the strong edge between
+        positions p and p+s along the axis; None when no axis-aligned
+        offset exists or the stride doesn't divide the extent."""
+        pick = smallest_axis_offset(axis)
+        if pick is None:
+            return None
+        oi, o = pick
+        d = o[axis]
+        s = abs(d)
+        extent = (H, W)[axis]
+        if extent % s != 0:
+            return None
+        e = strong_edge(oi, *o)
+        if d < 0:
+            # edge (p) -> (p - s): canonicalize to S[p - s] between
+            # (p - s, p)
+            e = jnp.roll(e, -s, axis=axis)
+        return e, s
+
+    ccl = ccl_sweeps
+    h_links = axis_links(1) if ccl else None
+    v_links = axis_links(0) if ccl else None
+    # erosion guard (conservative mode, ccl_margin > 0): only pixels whose
+    # ALL short-offset incident edges are strong may flood.  Fuzzy boundary
+    # rings (where a single marginal edge could irreversibly fuse two
+    # same-class objects) stay out of phase 1 and are resolved by phase 3's
+    # aggregated merging.
+    pixel_ok = jnp.ones((H, W), bool)
+    for links, axis in ((h_links, 1), (v_links, 0)):
+        if links is None or ccl_margin <= 0:
+            continue
+        S, stride = links
+        pos = jnp.arange((H, W)[axis])
+        pos = pos[:, None] if axis == 0 else pos[None, :]
+        extent = (H, W)[axis]
+        oob_fwd = pos >= extent - stride   # no forward partner
+        oob_bwd = pos < stride             # no backward partner
+        bwd = jnp.roll(S, stride, axis=axis)
+        pixel_ok = pixel_ok & (S | oob_fwd) & (bwd | oob_bwd)
+    if h_links is not None:
+        S, stride = h_links
+        h_links = (S & pixel_ok &
+                   jnp.roll(pixel_ok, -stride, axis=1), stride)
+    if v_links is not None:
+        S, stride = v_links
+        v_links = (S & pixel_ok &
+                   jnp.roll(pixel_ok, -stride, axis=0), stride)
+    if h_links is not None or v_links is not None:
+        def scan_axis(label, e, s, axis):
+            """Segmented min-scan along `axis` with stride-s links: view
+            the axis as (extent//s, s) so each stride-sublattice scans as a
+            contiguous chain."""
+            if axis == 1:
+                shape3 = (H, W // s, s)
+            else:
+                shape3 = (H // s, s, W)
+            scan_ax = 1 if axis == 1 else 0
+            L = label.reshape(shape3)
+            S = e.reshape(shape3)
+            fwd = jnp.roll(S, 1, axis=scan_ax)
+            idx = [slice(None)] * 3
+            idx[scan_ax] = 0
+            fwd = fwd.at[tuple(idx)].set(False)
+            L = _seg_min_scan(L, fwd, axis=scan_ax)
+            L = _seg_min_scan(L, S, axis=scan_ax, reverse=True)
+            return L.reshape(H, W)
+
+        for _ in range(ccl):
+            if h_links is not None:
+                label = scan_axis(label, h_links[0], h_links[1], 1)
+            if v_links is not None:
+                label = scan_axis(label, v_links[0], v_links[1], 0)
+        # canonicalize: two pointer-jump passes over pixel labels
+        flat = label.reshape(-1)
+        flat = flat[flat]
+        flat = flat[flat]
+        label = flat.reshape(H, W)
+    return label
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("num_classes", "offsets", "den_mode", "max_rounds",
@@ -280,123 +415,8 @@ def decode_on_device(class_probs, sameness_probs, num_classes, offsets,
     if initial_labels is not None:
         label = initial_labels.astype(jnp.int32)
     else:
-        label = jnp.arange(N, dtype=jnp.int32).reshape(H, W)
-
-    def strong_edge(oi, di, dj):
-        """(H, W) bool: strong edge from (i, j) to (i+di, j+dj)."""
-        same_cls = argmax_pix == jnp.roll(
-            jnp.roll(argmax_pix, -di, axis=0), -dj, axis=1)
-        oml = log_odds[:, :, oi]
-        if den_mode == "sum":
-            pri = oml * omf / 2.0 + bias
-        else:
-            pri = (oml * omf + bias)
-        ok = same_cls & (pri >= 0.0) & (oml > ccl_margin)
-        # border validity
-        if di > 0:
-            ok = ok & (jnp.arange(H)[:, None] < H - di)
-        elif di < 0:
-            ok = ok & (jnp.arange(H)[:, None] >= -di)
-        if dj > 0:
-            ok = ok & (jnp.arange(W)[None, :] < W - dj)
-        elif dj < 0:
-            ok = ok & (jnp.arange(W)[None, :] >= -dj)
-        return ok
-
-    offs = list(offsets)
-
-    def smallest_axis_offset(axis):
-        """The smallest purely-horizontal (axis=1) or purely-vertical
-        (axis=0) offset in the set — the offset grids need not contain
-        (0,1)/(1,0) (e.g. generate_offsets(80, 10) yields (0, 2))."""
-        cands = [(i, o) for i, o in enumerate(offs)
-                 if o[1 - axis] == 0 and o[axis] != 0]
-        if not cands:
-            return None
-        return min(cands, key=lambda t: abs(t[1][axis]))
-
-    def axis_links(axis):
-        """Forward/backward link planes for stride-s segmented scans along
-        `axis`, plus the stride s.  S[..pos..] is the strong edge between
-        positions p and p+s along the axis; None when no axis-aligned
-        offset exists or the stride doesn't divide the extent."""
-        pick = smallest_axis_offset(axis)
-        if pick is None:
-            return None
-        oi, o = pick
-        d = o[axis]
-        s = abs(d)
-        extent = (H, W)[axis]
-        if extent % s != 0:
-            return None
-        e = strong_edge(oi, *o)
-        if d < 0:
-            # edge (p) -> (p - s): canonicalize to S[p - s] between
-            # (p - s, p)
-            e = jnp.roll(e, -s, axis=axis)
-        return e, s
-
-    if initial_labels is not None:
-        ccl = 0
-    else:
-        ccl = ccl_sweeps
-    h_links = axis_links(1) if ccl else None
-    v_links = axis_links(0) if ccl else None
-    # erosion guard (conservative mode, ccl_margin > 0): only pixels whose
-    # ALL short-offset incident edges are strong may flood.  Fuzzy boundary
-    # rings (where a single marginal edge could irreversibly fuse two
-    # same-class objects) stay out of phase 1 and are resolved by phase 3's
-    # aggregated merging.
-    pixel_ok = jnp.ones((H, W), bool)
-    for links, axis in ((h_links, 1), (v_links, 0)):
-        if links is None or ccl_margin <= 0:
-            continue
-        S, stride = links
-        pos = jnp.arange((H, W)[axis])
-        pos = pos[:, None] if axis == 0 else pos[None, :]
-        extent = (H, W)[axis]
-        oob_fwd = pos >= extent - stride   # no forward partner
-        oob_bwd = pos < stride             # no backward partner
-        bwd = jnp.roll(S, stride, axis=axis)
-        pixel_ok = pixel_ok & (S | oob_fwd) & (bwd | oob_bwd)
-    if h_links is not None:
-        S, stride = h_links
-        h_links = (S & pixel_ok &
-                   jnp.roll(pixel_ok, -stride, axis=1), stride)
-    if v_links is not None:
-        S, stride = v_links
-        v_links = (S & pixel_ok &
-                   jnp.roll(pixel_ok, -stride, axis=0), stride)
-    if h_links is not None or v_links is not None:
-        def scan_axis(label, e, s, axis):
-            """Segmented min-scan along `axis` with stride-s links: view
-            the axis as (extent//s, s) so each stride-sublattice scans as a
-            contiguous chain."""
-            if axis == 1:
-                shape3 = (H, W // s, s)
-            else:
-                shape3 = (H // s, s, W)
-            scan_ax = 1 if axis == 1 else 0
-            L = label.reshape(shape3)
-            S = e.reshape(shape3)
-            fwd = jnp.roll(S, 1, axis=scan_ax)
-            idx = [slice(None)] * 3
-            idx[scan_ax] = 0
-            fwd = fwd.at[tuple(idx)].set(False)
-            L = _seg_min_scan(L, fwd, axis=scan_ax)
-            L = _seg_min_scan(L, S, axis=scan_ax, reverse=True)
-            return L.reshape(H, W)
-
-        for _ in range(ccl):
-            if h_links is not None:
-                label = scan_axis(label, h_links[0], h_links[1], 1)
-            if v_links is not None:
-                label = scan_axis(label, v_links[0], v_links[1], 0)
-        # canonicalize: two pointer-jump passes over pixel labels
-        flat = label.reshape(-1)
-        flat = flat[flat]
-        flat = flat[flat]
-        label = flat.reshape(H, W)
+        label = _flood_fill(argmax_pix, log_odds, offsets, den_mode, omf,
+                            bias, ccl_sweeps, ccl_margin)
 
     # densify component ids to [0, M).  Labels are root pixel ids with
     # label[root] == root (true for arange, for the flood fill — the
@@ -423,7 +443,7 @@ def decode_on_device(class_probs, sameness_probs, num_classes, offsets,
     rows = jnp.arange(H)[:, None]
     cols = jnp.arange(W)[None, :]
     ea_list, eb_list, eo_list, ext_list = [], [], [], []
-    for oi, (di, dj) in enumerate(offs):
+    for oi, (di, dj) in enumerate(offsets):
         b2 = jnp.roll(jnp.roll(comp2d, -di, axis=0), -dj, axis=1)
         valid = ((rows + di >= 0) & (rows + di < H) &
                  (cols + dj >= 0) & (cols + dj < W))
@@ -614,6 +634,285 @@ def relabel_mask(label, root_class, is_instance_root):
         jnp.where(is_instance_root, root_class,
                   jnp.full_like(root_class, -1)))
     return mask, inst_class
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("num_classes", "offsets", "den_mode",
+                     "same_different_bias", "object_merge_factor",
+                     "merge_logprob_bias", "ccl_sweeps", "ccl_margin",
+                     "absorb_thetas", "absorb_size_cap", "max_components",
+                     "pair_components", "pair_slots", "pair_rounds",
+                     "do_prune", "prune_threshold"))
+def decode_hierarchical(class_probs, sameness_probs, num_classes, offsets,
+                        same_different_bias=0.0, object_merge_factor=1.0,
+                        merge_logprob_bias=0.0, den_mode="sum",
+                        ccl_sweeps=3, ccl_margin=2.0,
+                        absorb_thetas=(6.0, 3.0, 1.5),
+                        absorb_size_cap=64,
+                        max_components=32768, pair_components=8192,
+                        pair_slots=131072, pair_rounds=24,
+                        do_prune=False, prune_threshold=200.0):
+    """Single-dispatch hierarchical decode tuned for serving throughput.
+
+    Same objective as `decode_on_device`, structured so every stage's cost
+    matches how much unresolved structure is actually left:
+
+      1. conservative flood fill (`_flood_fill`, margin + erosion guard):
+         collapses high-confidence same-class interiors with segmented
+         scans; fuzzy boundary rings stay out.
+      2. absorption rounds on the label GRID (no edge materialization):
+         τ-annealed Boruvka rounds that merge a pair only when (a) both
+         sides share an argmax class (class delta exactly 0), (b) the
+         SMALLER side is below `absorb_size_cap` pixels, and (c) the best
+         single linking edge has log-odds >= θ.  Small fragments and
+         boundary rings absorb into their cores; merges between two LARGE
+         components — where single-edge evidence can contradict the
+         aggregated pair evidence (the fuzzy-seam failure mode) — are
+         deliberately excluded and left to stage 4.
+      3. pair dedup: ONE packed int32 sort over all (pixel, offset) edges
+         collapses parallel edges into unique component pairs with summed
+         object-merge logprob (~30x fewer entries on trained outputs).
+      4. aggregated Boruvka pair rounds on the compact unique-pair arrays —
+         the exact merge priority ((Σoml·f + cdl)/den + bias, reference
+         `segment.cc:145-150`) drives hook/contract to the same "no
+         non-negative-priority merge remains" fixed point as the greedy.
+
+    Capacity overflow (components beyond `max_components`/
+    `pair_components`, pairs beyond `pair_slots`) freezes the overflowed
+    entities: they never merge and fold into background at output
+    (under-segmentation beats garbage instances).  Quality vs the C++
+    greedy oracle is asserted on trained-model outputs by
+    tests/test_decoder_certification.py.
+
+    Returns (comp (H, W) int32, root_class (M2,), is_instance_root (M2,))
+    — same contract as `decode_on_device`; feed to `relabel_mask`.
+    """
+    H, W, C = class_probs.shape
+    assert C == num_classes and sameness_probs.shape[-1] == len(offsets)
+    N = H * W
+    M = min(max_components, N)
+    M2 = min(pair_components, M)
+    f32 = jnp.float32
+    omf = f32(object_merge_factor)
+    bias = f32(merge_logprob_bias)
+    cls_lp_pix, log_odds = _log_domain(class_probs, sameness_probs,
+                                       same_different_bias)
+    argmax_pix = jnp.argmax(cls_lp_pix, axis=-1)
+
+    # ---- stage 1: flood + densify to M ----
+    label = _flood_fill(argmax_pix, log_odds, offsets, den_mode, omf, bias,
+                        ccl_sweeps, ccl_margin)
+    flat = label.reshape(-1)
+    is_rep = (flat == jnp.arange(N, dtype=flat.dtype)).astype(jnp.int32)
+    dense = (jnp.cumsum(is_rep) - 1).astype(jnp.int32)
+    comp_of_pix = dense[flat]
+    overflow = comp_of_pix >= M
+    comp_of_pix = jnp.minimum(comp_of_pix, M - 1)
+    comp2d = comp_of_pix.reshape(H, W)
+    cls_lp = jax.ops.segment_sum(cls_lp_pix.reshape(N, C), comp_of_pix,
+                                 num_segments=M)
+    size = jax.ops.segment_sum(jnp.ones((N,), jnp.int32), comp_of_pix,
+                               num_segments=M)
+    frozen = jax.ops.segment_max(overflow.astype(jnp.int32), comp_of_pix,
+                                 num_segments=M) > 0
+
+    # ---- stage 2: absorption rounds on the grid ----
+    ids = jnp.arange(M, dtype=jnp.int32)
+    n_jump = max(1, int(np.ceil(np.log2(max(M, 2)))))
+    for theta in absorb_thetas:
+        argcls = jnp.argmax(cls_lp, axis=1).astype(jnp.int32)
+        arg_own = argcls[comp2d]
+        size_own = size[comp2d]
+        froz_own = frozen[comp2d]
+        best_pri = jnp.full((H, W), NEG_INF, f32)
+        best_partner = jnp.full((H, W), -1, jnp.int32)
+        for oi, (di, dj) in enumerate(offsets):
+            nbr = _shift2d(comp2d, di, dj, -1)
+            arg_nbr = _shift2d(arg_own, di, dj, -2)
+            size_nbr = _shift2d(size_own, di, dj, 0)
+            froz_nbr = _shift2d(froz_own, di, dj, True)
+            oml = log_odds[:, :, oi]
+            small = jnp.minimum(size_own, size_nbr)
+            ok = ((nbr >= 0) & (nbr != comp2d) & (arg_nbr == arg_own) &
+                  (small <= absorb_size_cap) & (oml >= theta) &
+                  ~froz_own & ~froz_nbr)
+            # UP-SIZE hooking only ((size, id) lexicographic): every
+            # hooking tree is rooted at its largest member, so two large
+            # components can never be chain-merged through a shared small
+            # fragment in one round — the failure mode that fuses
+            # well-separated objects through fuzzy boundary rings.
+            up_fwd = (size_nbr > size_own) | ((size_nbr == size_own) &
+                                              (nbr > comp2d))
+            # rank eligible edges by their evidence; the exact priority is
+            # re-derived from aggregated stats in stage 4 — absorption only
+            # needs a confident same-class link
+            pri_f = jnp.where(ok & up_fwd, oml, NEG_INF)
+            pri_b = jnp.where(ok & ~up_fwd, oml, NEG_INF)
+            for p, q in ((pri_f, nbr),
+                         (_shift2d(pri_b, -di, -dj, NEG_INF),
+                          _shift2d(comp2d, -di, -dj, -1))):
+                take = (p > best_pri) | ((p == best_pri) &
+                                         (q > best_partner))
+                best_pri = jnp.where(take, p, best_pri)
+                best_partner = jnp.where(take, q, best_partner)
+        bp = best_pri.reshape(-1)
+        own_f = comp2d.reshape(-1)
+        comp_best = jax.ops.segment_max(bp, own_f, num_segments=M)
+        elig = bp == comp_best[own_f]
+        partner = jax.ops.segment_max(
+            jnp.where(elig, best_partner.reshape(-1), -1), own_f,
+            num_segments=M)
+        hook = (comp_best >= f32(theta)) & (partner >= 0)
+        parent = jnp.where(hook, jnp.maximum(partner, 0), ids)
+        parent = jnp.where((parent[parent] == ids) & (ids < parent), ids,
+                           parent)
+        for _ in range(n_jump):
+            parent = parent[parent]
+        dying = parent != ids
+        cls_lp = cls_lp.at[parent].add(
+            jnp.where(dying[:, None], cls_lp, 0.0))
+        cls_lp = jnp.where(dying[:, None], 0.0, cls_lp)
+        size = size + jax.ops.segment_sum(jnp.where(dying, size, 0),
+                                          parent, num_segments=M)
+        size = jnp.where(dying, 0, size)
+        comp2d = parent[comp2d]
+
+    # ---- stage 3: re-densify to M2 + pair dedup ----
+    live = size > 0
+    dense2 = (jnp.cumsum(live.astype(jnp.int32)) - 1).astype(jnp.int32)
+    over2 = live & (dense2 >= M2)
+    map2 = jnp.where(live, jnp.minimum(dense2, M2 - 1), 0)
+    comp2d = map2[comp2d]
+    sel = live.astype(jnp.int32)
+    cls_lp = jax.ops.segment_sum(cls_lp * sel[:, None], map2,
+                                 num_segments=M2)
+    size = jax.ops.segment_sum(size * sel, map2, num_segments=M2)
+    frozen = jax.ops.segment_max(
+        ((frozen | over2) & live).astype(jnp.int32), map2,
+        num_segments=M2) > 0
+
+    P = M2 + 1
+    SENT = P * P - 1  # > any real key (lo, hi <= M2-1); int32-safe
+    froz2d = frozen[comp2d]
+    keys, omls = [], []
+    for oi, (di, dj) in enumerate(offsets):
+        c2 = _shift2d(comp2d, di, dj, -1)
+        f2 = _shift2d(froz2d, di, dj, True)
+        ext = (c2 >= 0) & (c2 != comp2d) & ~froz2d & ~f2
+        lo = jnp.minimum(comp2d, c2)
+        hi = jnp.maximum(comp2d, c2)
+        keys.append(jnp.where(ext, lo * P + hi, SENT).reshape(-1))
+        omls.append(log_odds[:, :, oi].reshape(-1))
+    key = jnp.concatenate(keys)
+    oml = jnp.concatenate(omls)
+    key_s, oml_s = jax.lax.sort((key, oml), num_keys=1)
+    # run detection must NOT mask the sentinel block: masking would fold
+    # the sentinels (internal edges) into the last real pair's run and
+    # poison its aggregate with interior log-odds
+    first = jnp.concatenate([jnp.ones((1,), bool),
+                             key_s[1:] != key_s[:-1]])
+    run_id = (jnp.cumsum(first.astype(jnp.int32)) - 1).astype(jnp.int32)
+    real = (key_s < SENT) & (run_id < pair_slots - 1)
+    keep = first & real
+    slot = jnp.where(real, run_id, pair_slots - 1)
+    pair_oml = jax.ops.segment_sum(
+        jnp.where(real, oml_s, 0.0), slot,
+        num_segments=pair_slots, indices_are_sorted=True)
+    pair_key = jnp.full((pair_slots,), SENT, jnp.int32).at[
+        jnp.where(keep, slot, pair_slots - 1)].min(
+        jnp.where(keep, key_s, SENT))
+
+    # ---- stage 4: aggregated Boruvka pair rounds ----
+    ids2 = jnp.arange(M2, dtype=jnp.int32)
+    n_jump2 = max(1, int(np.ceil(np.log2(max(M2, 2)))))
+
+    def pair_round(state):
+        plo, phi, poml, total_map, cls_lp, size, _, r = state
+        live = (plo >= 0) & (plo != phi) & ~frozen[jnp.maximum(plo, 0)] \
+            & ~frozen[jnp.maximum(phi, 0)]
+        k = jnp.where(live, plo * P + phi, SENT)
+        k_s, o_s = jax.lax.sort((k, poml), num_keys=1)
+        f_ = jnp.concatenate([jnp.ones((1,), bool), k_s[1:] != k_s[:-1]])
+        rid = (jnp.cumsum(f_.astype(jnp.int32)) - 1).astype(jnp.int32)
+        agg = jax.ops.segment_sum(o_s, rid, num_segments=pair_slots,
+                                  indices_are_sorted=True)[rid]
+        dead = k_s >= SENT
+        lo_c = jnp.minimum(k_s // P, M2 - 1)
+        hi_c = jnp.minimum(k_s % P, M2 - 1)
+        best_lp = jnp.max(cls_lp, axis=1)
+        joint = cls_lp[lo_c] + cls_lp[hi_c]
+        cdl = jnp.max(joint, axis=1) - best_lp[lo_c] - best_lp[hi_c]
+        n1 = size[lo_c].astype(f32)
+        n2 = size[hi_c].astype(f32)
+        if den_mode == "sum":
+            pri = (agg * omf + cdl) / (n1 + n2) + bias
+        else:
+            pri = (agg * omf + cdl + bias) / (n1 * n2)
+        pri = jnp.where(dead, NEG_INF, pri)
+
+        # UP-SIZE hooking only (see the absorption stage): lo may hook to
+        # hi only when hi is (size, id)-greater, and vice versa — chains
+        # through shared small partners cannot bridge two large comps.
+        hi_up = (n2 > n1) | ((n2 == n1) & (hi_c > lo_c))
+        pri_lo = jnp.where(hi_up, pri, NEG_INF)
+        pri_hi = jnp.where(~hi_up, pri, NEG_INF)
+        comp_best = jnp.maximum(
+            jax.ops.segment_max(pri_lo, lo_c, num_segments=M2),
+            jax.ops.segment_max(pri_hi, hi_c, num_segments=M2))
+        comp_best = jnp.where(jnp.isfinite(comp_best), comp_best, NEG_INF)
+        elig_lo = (pri_lo == comp_best[lo_c]) & ~dead & hi_up
+        elig_hi = (pri_hi == comp_best[hi_c]) & ~dead & ~hi_up
+        partner = jnp.maximum(
+            jax.ops.segment_max(jnp.where(elig_lo, hi_c, -1), lo_c,
+                                num_segments=M2),
+            jax.ops.segment_max(jnp.where(elig_hi, lo_c, -1), hi_c,
+                                num_segments=M2))
+        parent = jnp.where((comp_best >= 0.0) & (partner >= 0),
+                           jnp.maximum(partner, 0), ids2)
+        parent = jnp.where((parent[parent] == ids2) & (ids2 < parent),
+                           ids2, parent)
+        for _ in range(n_jump2):
+            parent = parent[parent]
+        dying = parent != ids2
+        cls_lp = cls_lp.at[parent].add(
+            jnp.where(dying[:, None], cls_lp, 0.0))
+        cls_lp = jnp.where(dying[:, None], 0.0, cls_lp)
+        size = size + jax.ops.segment_sum(jnp.where(dying, size, 0),
+                                          parent, num_segments=M2)
+        size = jnp.where(dying, 0, size)
+        # contract the (sorted) pair arrays for the next round
+        plo = parent[lo_c]
+        phi = parent[hi_c]
+        plo, phi = jnp.minimum(plo, phi), jnp.maximum(plo, phi)
+        plo = jnp.where(dead, -1, plo)
+        phi = jnp.where(dead, -1, phi)
+        total_map = parent[total_map]
+        return (plo, phi, o_s, total_map, cls_lp, size,
+                ~jnp.any(dying), r + 1)
+
+    plo = jnp.where(pair_key < SENT, pair_key // P, -1)
+    phi = jnp.where(pair_key < SENT, pair_key % P, -1)
+    state = (plo, phi, pair_oml, ids2, cls_lp, size,
+             jnp.asarray(False), jnp.asarray(0))
+    (_, _, _, total_map, cls_lp, size, _, _) = jax.lax.while_loop(
+        lambda s: (~s[-2]) & (s[-1] < pair_rounds), pair_round, state)
+
+    comp = total_map[comp2d.reshape(-1)].reshape(H, W)
+    root_class = jnp.argmax(cls_lp, axis=1).astype(jnp.int32)
+    is_root = size > 0
+    if do_prune:
+        best_lp = jnp.max(cls_lp, axis=1)
+        advantage = best_lp - cls_lp[:, 0]
+        bg_size = jnp.where(is_root & (root_class == 0), size, -1)
+        bg_root = jnp.argmax(bg_size).astype(jnp.int32)
+        weak = is_root & (advantage < prune_threshold) & (ids2 != bg_root)
+        parent = jnp.where(weak, bg_root, ids2)
+        comp = parent[comp.reshape(-1)].reshape(H, W)
+        root_class = jnp.where(weak, 0, root_class)
+        is_root = is_root & ~weak
+    is_instance_root = is_root & (root_class != 0) & ~frozen
+    return comp, root_class, is_instance_root
 
 
 def decode_on_device_staged(class_probs, sameness_probs, num_classes,

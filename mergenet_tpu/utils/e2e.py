@@ -8,38 +8,36 @@ per-image host sync").  One dispatch per batch; only the compact instance
 masks return to the host.
 """
 
-import functools
-
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from ..decoder.device import (decode_on_device, decode_on_device_staged,
-                              relabel_mask)
+                              decode_hierarchical, relabel_mask)
 
 
 def build_e2e_infer(model, num_classes, offsets, decode_size=None,
                     same_different_bias=0.0, object_merge_factor=1.0,
                     merge_logprob_bias=0.03, max_rounds=48,
-                    max_components=None, max_edges=None, dtype=None):
+                    max_components=None, max_edges=None, dtype=None,
+                    decode_mode="exact", hier_kwargs=None):
     """Returns infer(variables, imgs) -> (masks, inst_classes).
 
     imgs: (N, H, W, 3) float32.  The net runs at full resolution; decode
     happens at `decode_size` (h, w) (default: half resolution, the
     reference's choice) and the mask is upsampled back with
     nearest-neighbor, exactly like `segment.py:146-149`.
+
+    decode_mode: 'exact' (staged two-pass aggregated Boruvka — the quality
+    reference), 'hier' (`decode_hierarchical`, the certified serving fast
+    path; override its capacities via `hier_kwargs`), or 'capped' (single
+    pass with `max_components`/`max_edges`).
     """
     offsets = tuple(tuple(o) for o in offsets)
 
     def one(variables, img):
         H, W = img.shape[0], img.shape[1]
         dh, dw = decode_size if decode_size else (H // 2, W // 2)
-        # default: exact (uncapped) decode — real-model boundaries are
-        # fuzzier than oracle scenes and capacity overflow degrades quality;
-        # pass caps explicitly for throughput-tuned serving
-        mc = max_components
-        me = max_edges
-
         x = img[None]
         if dtype is not None:
             x = x.astype(dtype)
@@ -51,16 +49,17 @@ def build_e2e_infer(model, num_classes, offsets, decode_size=None,
         sp = small[..., num_classes:]
         kw = dict(same_different_bias=same_different_bias,
                   object_merge_factor=object_merge_factor,
-                  merge_logprob_bias=merge_logprob_bias,
-                  max_rounds=max_rounds)
-        if mc is None and me is None:
-            # exact mode: staged two-pass decode
+                  merge_logprob_bias=merge_logprob_bias)
+        if decode_mode == "hier":
+            label, root_class, is_inst = decode_hierarchical(
+                cp, sp, num_classes, offsets, **kw, **(hier_kwargs or {}))
+        elif max_components is None and max_edges is None:
             label, root_class, is_inst = decode_on_device_staged(
-                cp, sp, num_classes, offsets, **kw)
+                cp, sp, num_classes, offsets, max_rounds=max_rounds, **kw)
         else:
             label, root_class, is_inst = decode_on_device(
-                cp, sp, num_classes, offsets, max_components=mc,
-                max_edges=me, **kw)
+                cp, sp, num_classes, offsets, max_components=max_components,
+                max_edges=max_edges, max_rounds=max_rounds, **kw)
         mask, inst_class = relabel_mask(label, root_class, is_inst)
         # nearest-neighbor upsample back to full resolution
         full = jax.image.resize(mask.astype(jnp.int32), (H, W),
@@ -69,7 +68,11 @@ def build_e2e_infer(model, num_classes, offsets, decode_size=None,
 
     @jax.jit
     def infer(variables, imgs):
-        return jax.vmap(lambda im: one(variables, im))(imgs)
+        # lax.map, not vmap: a vmapped while_loop couples decode
+        # convergence across the batch (every image pays the slowest
+        # image's rounds times batch width); lax.map runs each image
+        # independently in one dispatch
+        return jax.lax.map(lambda im: one(variables, im), imgs)
 
     return infer
 
