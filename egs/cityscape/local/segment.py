@@ -42,7 +42,11 @@ parser.add_argument("--same-different-bias", type=float, default=0.0)
 parser.add_argument("--merge-logprob-bias", type=float, default=0.0)
 parser.add_argument("--prune-threshold", type=float, default=0.0)
 parser.add_argument("--decoder", type=str, default="device",
-                    choices=["device", "cpp", "python"])
+                    choices=["device", "device-exact", "cpp", "python"],
+                    help="device = certified on-device hierarchical "
+                         "decode (serving path); device-exact = "
+                         "progressive exact aggregated Boruvka (parity "
+                         "oracle on TPU); cpp/python = host greedy")
 parser.add_argument("--job", type=int, default=0)
 parser.add_argument("--num-jobs", type=int, default=1)
 parser.add_argument("--visualize", action="store_true")
@@ -77,12 +81,13 @@ def _decode(class_mask, bound_mask, num_classes, offset_list):
     omf = args.object_merge_factor if args.object_merge_factor is not None \
         else 1.0  # reference segment.py:134-136 hardcodes 1
     mlb = args.merge_logprob_bias or 0.03
-    if args.decoder == "device":
+    if args.decoder in ("device", "device-exact"):
         from mergenet_tpu.decoder.device import run_segmentation_device
         return run_segmentation_device(
             class_mask, bound_mask, num_classes, offset_list,
             same_different_bias=args.same_different_bias,
-            object_merge_factor=omf, merge_logprob_bias=mlb)
+            object_merge_factor=omf, merge_logprob_bias=mlb,
+            mode="hier" if args.decoder == "device" else "exact")
     if args.decoder == "cpp":
         from mergenet_tpu.decoder import csegment
         return csegment.run_segmentation(

