@@ -648,7 +648,7 @@ def decode_hierarchical(class_probs, sameness_probs, num_classes, offsets,
                         same_different_bias=0.0, object_merge_factor=1.0,
                         merge_logprob_bias=0.0, den_mode="sum",
                         ccl_sweeps=3, ccl_margin=2.0,
-                        absorb_thetas=(6.0, 1.5),
+                        absorb_thetas=(1.5,),
                         absorb_size_cap=64,
                         max_components=65536, pair_components=8192,
                         pair_slots=65536, pair_rounds=64,
@@ -726,6 +726,14 @@ def decode_hierarchical(class_probs, sameness_probs, num_classes, offsets,
     ids = jnp.arange(M, dtype=jnp.int32)
     n_jump = max(1, int(np.ceil(np.log2(max(M, 2)))))
     pack_stats = num_classes <= 16  # argcls in 4 bits, size < 2^26
+    if pack_stats and absorb_thetas:
+        from ..ops.pallas.absorb import absorb_best_edges, \
+            absorb_scan_supported
+        use_pallas = absorb_scan_supported(H, W)
+        if use_pallas:
+            log_odds_t = jnp.moveaxis(log_odds, -1, 0)
+    else:
+        use_pallas = False
     for theta in absorb_thetas:
         argcls = jnp.argmax(cls_lp, axis=1).astype(jnp.int32)
         if pack_stats:
@@ -741,9 +749,19 @@ def decode_hierarchical(class_probs, sameness_probs, num_classes, offsets,
             arg_own = argcls[comp2d]
             size_own = size[comp2d]
             froz_own = frozen[comp2d]
-        best_pri = jnp.full((H, W), NEG_INF, f32)
-        best_partner = jnp.full((H, W), -1, jnp.int32)
-        for oi, (di, dj) in enumerate(offsets):
+        if use_pallas:
+            # fused Pallas scan: full grids resident in VMEM, one pass
+            # over all offsets/directions (ops/pallas/absorb.py;
+            # bit-identical to the jnp loop below)
+            best_pri, best_partner = absorb_best_edges(
+                comp2d, packed_own, log_odds_t, offsets, float(theta),
+                absorb_size_cap)
+            plane_offsets = ()
+        else:
+            best_pri = jnp.full((H, W), NEG_INF, f32)
+            best_partner = jnp.full((H, W), -1, jnp.int32)
+            plane_offsets = offsets
+        for oi, (di, dj) in enumerate(plane_offsets):
             nbr = _shift2d(comp2d, di, dj, -1)
             arg_nbr = _shift2d(arg_own, di, dj, -2)
             size_nbr = _shift2d(size_own, di, dj, 0)

@@ -3,9 +3,9 @@
 JAX re-designs of the reference losses (`utils/loss.py:24-87`), all pure
 functions over channel-last `(..., H, W, C)` logits/targets so XLA fuses the
 sigmoid/log terms into surrounding convolutions.  The combined
-class + alpha * offset objective is provided both as a composition
-(`fused_class_offset_loss`) and, for the hot path, as a single Pallas kernel
-(`mergenet_tpu.ops.pallas.fused_loss`).
+class + alpha * offset objective (`fused_class_offset_loss`) relies on that
+XLA fusion — measured faster than a hand-written Pallas kernel at the
+recipes' channel-minor layout (docs/benchmarks.md "Pallas fused loss").
 """
 
 import jax
