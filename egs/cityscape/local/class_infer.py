@@ -33,6 +33,10 @@ parser.add_argument("--caffe", action="store_true",
                     help="caffe-style preprocessing + tiled prediction")
 parser.add_argument("--tile-size", default=None, type=int, nargs=2,
                     help="tile window (sx, sy) for tiled prediction")
+parser.add_argument("--caffe-weights", default=None, type=str,
+                    help="npz from convert_caffe_to_pytorch.py (released "
+                         "PSPNet caffemodel); loads instead of --model "
+                         "when arch=pspnet")
 parser.add_argument("--job", type=int, default=0)
 parser.add_argument("--num-jobs", type=int, default=1)
 
@@ -45,7 +49,18 @@ def main():
     tx = make_optimizer()
     state = create_train_state(model, tx, jax.random.PRNGKey(0),
                                (1, 128, 128, 3))
-    state, meta = load_checkpoint(args.model, state)
+    if args.caffe_weights:
+        # released-caffemodel inference path (reference
+        # class_infer.py:38-39 used pspnet(version=...) + caffemodel)
+        import numpy as np
+        from mergenet_tpu.utils.weight_import import apply_caffe_weights
+        npz = np.load(args.caffe_weights)
+        params, batch_stats, _ = apply_caffe_weights(
+            state.params, state.batch_stats, npz,
+            layer=101 if args.arch == "pspnet" else 50)
+        state = state.replace(params=params, batch_stats=batch_stats)
+    else:
+        state, meta = load_checkpoint(args.model, state)
 
     dataset = ClassDataset(args.img, args.ann, scale=args.scale,
                            caffe=args.caffe, mode="val",

@@ -259,3 +259,88 @@ def resolve_pretrained_path(arch, pretrain):
             if os.path.exists(p):
                 return p
     return None
+
+
+def caffe_pspnet_mapping(layer=101):
+    """(caffe conv-layer name, flax conv path, flax BN path|None) entries
+    for the released caffe PSPNet (reference `pspnet_caffe.py:462-490`
+    naming: stem conv1_{1..3}, residual conv{2..5}_{i}_{1x1_reduce,3x3,
+    1x1_increase}(+_1_1x1_proj), PPM conv5_3_pool{1,2,3,6}_conv, head
+    conv5_4/conv6, aux conv4_{n+1}/conv6_1; every conv's BN is
+    '<name>/bn')."""
+    blocks = STAGE_BLOCKS[layer]
+    rb = "ResNetBackbone_0/"
+    m = []
+    for i, cn in enumerate(("conv1_1_3x3_s2", "conv1_2_3x3",
+                            "conv1_3_3x3")):
+        m.append((cn, rb + "Conv_{}".format(i),
+                  rb + "SyncBatchNorm_{}".format(i)))
+    j = 0
+    for s in range(4):
+        prefix = "conv{}".format(s + 2)
+        for i in range(1, blocks[s] + 1):
+            fb = rb + "Bottleneck_{}/".format(j)
+            m.append(("{}_{}_1x1_reduce".format(prefix, i),
+                      fb + "Conv_0", fb + "SyncBatchNorm_0"))
+            m.append(("{}_{}_3x3".format(prefix, i),
+                      fb + "Conv_1", fb + "SyncBatchNorm_1"))
+            m.append(("{}_{}_1x1_increase".format(prefix, i),
+                      fb + "Conv_2", fb + "SyncBatchNorm_2"))
+            if i == 1:
+                m.append(("{}_1_1x1_proj".format(prefix),
+                          fb + "Conv_3", fb + "SyncBatchNorm_3"))
+            j += 1
+    ppm = "PyramidPoolingModule_0/"
+    for k, ps in enumerate((1, 2, 3, 6)):
+        m.append(("conv5_3_pool{}_conv".format(ps),
+                  ppm + "Conv_{}".format(k),
+                  ppm + "SyncBatchNorm_{}".format(k)))
+    m.append(("conv5_4", "Conv_0", "SyncBatchNorm_0"))
+    m.append(("conv6", "Conv_1", None))
+    m.append(("conv4_{}".format(blocks[2] + 1), "Conv_2",
+              "SyncBatchNorm_1"))
+    m.append(("conv6_1", "Conv_3", None))
+    return m
+
+
+def apply_caffe_weights(params, batch_stats, npz, layer=101,
+                        skip_head=False):
+    """Load a `caffemodel_to_npz` archive into a `PSPNet` Flax tree.
+
+    npz keys are '<layer>.<i>' (convs already HWIO).  BNData blob order is
+    gamma, beta, running_mean, running_var (reference
+    `pspnet_caffe.py:352-357`).  `skip_head=True` loads only the backbone
+    + PPM (for transfer to a different number of output channels).
+    Returns (params, batch_stats, report)."""
+    params = _to_mutable(params)
+    batch_stats = _to_mutable(batch_stats)
+    loaded, skipped = [], []
+    used = set()
+    for cname, cpath, bnpath in caffe_pspnet_mapping(layer):
+        if skip_head and cpath in ("Conv_1", "Conv_3"):
+            skipped.append(cname)
+            continue
+        wkey = cname + ".0"
+        if wkey not in npz:
+            raise KeyError("caffemodel is missing layer '{}'".format(cname))
+        _set_path(params, cpath, "kernel", np.asarray(npz[wkey]))
+        used.add(wkey)
+        bkey = cname + ".1"
+        if bnpath is None and bkey in npz:
+            _set_path(params, cpath, "bias", np.asarray(npz[bkey]))
+            used.add(bkey)
+        if bnpath is not None:
+            bn = cname + "/bn"
+            gamma, beta, mean, var = (np.asarray(npz[bn + ".%d" % i])
+                                      for i in range(4))
+            bp = bnpath + "/BatchNorm_0"
+            _set_path(params, bp, "scale", gamma)
+            _set_path(params, bp, "bias", beta)
+            _set_path(batch_stats, bp, "mean", mean)
+            _set_path(batch_stats, bp, "var", var)
+            used.update(bn + ".%d" % i for i in range(4))
+        loaded.append(cname)
+    report = {"loaded": loaded, "skipped": skipped,
+              "unused_npz_keys": sorted(k for k in npz.files
+                                        if k not in used)}
+    return params, batch_stats, report

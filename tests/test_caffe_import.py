@@ -84,3 +84,72 @@ def test_caffemodel_to_npz(tmp_path):
     # conv transposed OIHW -> HWIO
     np.testing.assert_allclose(data["conv1.0"],
                                np.transpose(conv_w, (2, 3, 1, 0)))
+
+
+def test_caffe_pspnet_full_mapping(tmp_path):
+    """End-to-end: synthetic caffemodel with the released PSPNet's layer
+    naming (reference pspnet_caffe.py:462-490) -> npz -> PSPNet Flax
+    trees, every blob landing at the right leaf (VERDICT round 1,
+    missing #2 caffe side)."""
+    import jax
+    import jax.numpy as jnp
+    from mergenet_tpu.models.pspnet import PSPNet
+    from mergenet_tpu.models import init_model
+    from mergenet_tpu.utils.weight_import import (caffe_pspnet_mapping,
+                                                  apply_caffe_weights,
+                                                  _get_path)
+
+    model = PSPNet(5, layer=50)
+    params, bs = init_model(model, jax.random.PRNGKey(0), (1, 64, 64, 3))
+
+    def leaf(tree, path, name):
+        return np.asarray(_get_path(tree, path)[name])
+
+    rng = np.random.RandomState(1)
+    net = b""
+    expected = {}
+    for cname, cpath, bnpath in caffe_pspnet_mapping(50):
+        kshape = leaf(params, cpath, "kernel").shape  # HWIO
+        oihw = rng.randn(kshape[3], kshape[2], kshape[0],
+                         kshape[1]).astype(np.float32)
+        blobs = [oihw]
+        has_bias = bnpath is None
+        if has_bias:
+            bias = rng.randn(kshape[3]).astype(np.float32)
+            blobs.append(bias)
+            expected[(cpath, "bias")] = bias
+        net += _layer(cname, "ConvolutionData", blobs, bias_term=has_bias)
+        expected[(cpath, "kernel")] = np.transpose(oihw, (2, 3, 1, 0))
+        if bnpath is not None:
+            c = kshape[3]
+            bn = [rng.randn(c).astype(np.float32) for _ in range(4)]
+            bn[3] = np.abs(bn[3]) + 0.5  # positive variance
+            net += _layer(cname + "/bn", "BNData", bn)
+            bp = bnpath + "/BatchNorm_0"
+            expected[(bp, "scale")] = bn[0]
+            expected[(bp, "bias")] = bn[1]
+            expected[("stats:" + bp, "mean")] = bn[2]
+            expected[("stats:" + bp, "var")] = bn[3]
+
+    path = str(tmp_path / "pspnet.caffemodel")
+    with open(path, "wb") as f:
+        f.write(net)
+    npz_path = str(tmp_path / "pspnet.npz")
+    caffemodel_to_npz(path, npz_path)
+    npz = np.load(npz_path)
+
+    params2, bs2, report = apply_caffe_weights(params, bs, npz, layer=50)
+    assert not report["unused_npz_keys"], report["unused_npz_keys"][:5]
+    for (where, name), want in expected.items():
+        if where.startswith("stats:"):
+            got = leaf(bs2, where[len("stats:"):], name)
+        else:
+            got = leaf(params2, where, name)
+        np.testing.assert_allclose(got, want, rtol=1e-6,
+                                   err_msg="{}/{}".format(where, name))
+
+    # forward smoke with the imported weights (incl. aux head)
+    out, aux = model.apply({"params": params2, "batch_stats": bs2},
+                           jnp.zeros((1, 64, 64, 3)), train=False,
+                           with_aux=True)
+    assert out.shape == (1, 64, 64, 5) and aux.shape == (1, 64, 64, 5)
