@@ -1,0 +1,70 @@
+"""Multi-chip serving: sharded end-to-end net + merge decode.
+
+Frames are embarrassingly parallel across chips, so the serving pipeline
+shards the batch over the mesh's 'data' axis with `shard_map`: each
+device runs the full single-chip path (net forward -> certified
+`decode_hierarchical` -> relabel) over its local shard via `lax.map` —
+no collectives on the serving path at all; the only communication is the
+output gather `jit` inserts when the caller reads the result.
+
+This is the TPU-native replacement for the reference's multi-process
+`--job/--num-jobs` image sharding (`utils/dataset.py:56-63`): one SPMD
+program instead of N processes, and the decode never leaves the device.
+
+Throughput: single-chip bench is 6.36 fps (bench.py); per-chip decode is
+independent, so a v5e-8 slice serves ~8x that (validated for
+compile+execution on a virtual 8-device mesh by tests/test_serving.py
+and the driver's `dryrun_multichip`).
+"""
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
+
+from .decoder.device import decode_hierarchical, relabel_mask
+
+
+def build_serving_pipeline(model, num_classes, offsets, mesh,
+                           decode_size=None, dtype=None,
+                           same_different_bias=0.0,
+                           object_merge_factor=1.0,
+                           merge_logprob_bias=0.03, hier_kwargs=None):
+    """Returns serve(variables, imgs) -> (masks, inst_classes).
+
+    imgs: (B, H, W, 3) float32 with B divisible by the 'data' axis size.
+    Masks come back at full resolution ((B, H, W) int32, ids 1..K per
+    image); inst_classes maps ids to classes (padded with -1).
+    """
+    offsets = tuple(tuple(o) for o in offsets)
+
+    def one(variables, img):
+        H, W = img.shape[0], img.shape[1]
+        dh, dw = decode_size if decode_size else (H // 2, W // 2)
+        x = img[None]
+        if dtype is not None:
+            x = x.astype(dtype)
+        logits = model.apply(variables, x, train=False)
+        probs = jax.nn.sigmoid(logits.astype(jnp.float32))[0]
+        small = jax.image.resize(probs, (dh, dw, probs.shape[-1]),
+                                 "bilinear")
+        comp, root_class, is_inst = decode_hierarchical(
+            small[..., :num_classes], small[..., num_classes:],
+            num_classes, offsets,
+            same_different_bias=same_different_bias,
+            object_merge_factor=object_merge_factor,
+            merge_logprob_bias=merge_logprob_bias, **(hier_kwargs or {}))
+        mask, inst_class = relabel_mask(comp, root_class, is_inst)
+        full = jax.image.resize(mask.astype(jnp.int32), (H, W), "nearest")
+        return full, inst_class
+
+    def local_shard(variables, imgs):
+        # per-device: independent per-image decode, one dispatch
+        return jax.lax.map(partial(one, variables), imgs)
+
+    sharded = jax.shard_map(
+        local_shard, mesh=mesh,
+        in_specs=(P(), P("data")), out_specs=P("data"),
+        check_vma=False)
+    return jax.jit(sharded)

@@ -1,0 +1,40 @@
+"""Sharded serving pipeline: multi-device parity with single-device e2e."""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from mergenet_tpu.models.unet import UNet
+from mergenet_tpu.models import init_model
+from mergenet_tpu.parallel import make_mesh
+from mergenet_tpu.parallel.mesh import batch_sharding
+from mergenet_tpu.serving import build_serving_pipeline
+from mergenet_tpu.utils.e2e import build_e2e_infer
+
+
+def test_serving_matches_single_device_e2e():
+    num_classes, offsets = 3, ((0, 1), (1, 0))
+    model = UNet(num_classes, len(offsets), depth=2, start_filts=8)
+    params, bs = init_model(model, jax.random.PRNGKey(0), (1, 32, 32, 3))
+    variables = {"params": params, "batch_stats": bs}
+    imgs = jax.random.uniform(jax.random.PRNGKey(1), (8, 32, 32, 3))
+
+    hier = dict(max_components=1024, pair_components=256,
+                pair_slots=4096)
+    ref_infer = build_e2e_infer(model, num_classes, offsets,
+                                decode_size=(16, 16), decode_mode="hier",
+                                hier_kwargs=hier)
+    ref_masks, ref_classes = ref_infer(variables, imgs)
+
+    mesh = make_mesh(data=8)
+    serve = build_serving_pipeline(model, num_classes, offsets, mesh,
+                                   decode_size=(16, 16),
+                                   hier_kwargs=hier)
+    imgs_sh = jax.device_put(imgs, batch_sharding(mesh))
+    masks, classes = serve(variables, imgs_sh)
+
+    np.testing.assert_array_equal(np.asarray(masks),
+                                  np.asarray(ref_masks))
+    np.testing.assert_array_equal(np.asarray(classes),
+                                  np.asarray(ref_classes))
