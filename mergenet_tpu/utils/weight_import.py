@@ -100,8 +100,37 @@ def _fpn_mapping(tpre="fpn_module.", fpre="FPNModule_0/", n_levels=4):
     return m
 
 
+def unet_mapping(depth=5):
+    """Reference UNet naming (`models/Unet.py:44-223`: `down_convs.{i}`
+    with conv1/conv2/bn1/bn2, `up_convs.{i}` with a transpose upconv +
+    conv1/conv2/bn1/bn2, `conv_final`) onto our `models/unet.py` tree
+    (default transpose/concat modes)."""
+    m = []
+    for i in range(depth):
+        tb = "down_convs.{}.".format(i)
+        fb = "DownConv_{}/".format(i)
+        for c in (1, 2):
+            m.append((tb + "conv{}".format(c),
+                      fb + "Conv_{}".format(c - 1), "conv"))
+            m.append((tb + "bn{}".format(c),
+                      fb + "SyncBatchNorm_{}".format(c - 1), "bn"))
+    for i in range(depth - 1):
+        tb = "up_convs.{}.".format(i)
+        fb = "UpConv_{}/".format(i)
+        m.append((tb + "upconv", fb + "ConvTranspose_0", "convT"))
+        for c in (1, 2):
+            m.append((tb + "conv{}".format(c),
+                      fb + "Conv_{}".format(c - 1), "conv"))
+            m.append((tb + "bn{}".format(c),
+                      fb + "SyncBatchNorm_{}".format(c - 1), "bn"))
+    m.append(("conv_final", "Conv_0", "conv"))
+    return m
+
+
 def model_mapping(arch, layer=None):
     """Full-model mapping for a reference checkpoint of `arch`."""
+    if arch in ("unet", "unet_small"):
+        return unet_mapping(5 if arch == "unet" else 3)
     if "fpnet" in arch:
         layer = layer or 50
         return (resnet_mapping(layer, False, "resnet.",
@@ -184,7 +213,7 @@ def apply_torch_weights(params, batch_stats, flat, mapping):
     for tpre, fpath, kind in mapping:
         optional = kind.endswith("?")
         kind = kind.rstrip("?")
-        leaves = _CONV_LEAVES if kind == "conv" else _BN_LEAVES
+        leaves = _BN_LEAVES if kind == "bn" else _CONV_LEAVES
         present = any(tpre + "." + ln in flat for ln in leaves)
         if not present:
             if optional:
@@ -198,7 +227,15 @@ def apply_torch_weights(params, batch_stats, flat, mapping):
             if tk not in flat:
                 continue  # e.g. bias-free conv
             tree = params if coll == "params" else batch_stats
-            _set_path(tree, fp, fl, np.asarray(flat[tk]))
+            value = np.asarray(flat[tk])
+            if kind == "convT" and ln == "weight":
+                # torch ConvTranspose2d stores (in, out, kH, kW);
+                # import_torch_checkpoint applied the regular-conv
+                # transpose, leaving (kH, kW, out, in).  Flax
+                # ConvTranspose wants (kH, kW, in, out) with the spatial
+                # taps FLIPPED (verified numerically vs torch)
+                value = value.transpose(0, 1, 3, 2)[::-1, ::-1].copy()
+            _set_path(tree, fp, fl, value)
             used.add(tk)
         loaded.append(tpre)
     report = {

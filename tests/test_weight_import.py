@@ -133,3 +133,27 @@ def test_backbone_only_pretrain_into_full_model(tmp_path):
         assert resolve_pretrained_path("pspfpnet", True) == path
     finally:
         del os.environ["MERGENET_PRETRAINED_DIR"]
+
+
+def test_unet_checkpoint_parity(tmp_path):
+    """Reference UNet checkpoints load with forward parity (incl. the
+    ConvTranspose kernel transform: torch (in,out,kH,kW) -> flax HWIO
+    with flipped taps)."""
+    from mergenet_tpu.models.unet import UNet
+    from torch_twin import TorchUNet
+
+    tm = _randomize(TorchUNet(5, depth=3, start_filts=8), seed=4)
+    path = _save(tmp_path, tm, "unet.pth.tar")
+    flat, _ = import_torch_checkpoint(path)
+
+    fm = UNet(3, 2, depth=3, start_filts=8)
+    params, bs = init_model(fm, jax.random.PRNGKey(0), (1, 32, 32, 3))
+    params, bs, report = apply_torch_weights(params, bs, flat,
+                                             model_mapping("unet_small"))
+    assert not report["unused_torch_keys"], report["unused_torch_keys"]
+
+    x = np.random.RandomState(4).randn(1, 32, 32, 3).astype(np.float32)
+    ref = _torch_forward(tm, x)
+    got = fm.apply({"params": params, "batch_stats": bs},
+                   jnp.asarray(x), train=False)
+    np.testing.assert_allclose(np.asarray(got), ref, rtol=1e-4, atol=1e-4)

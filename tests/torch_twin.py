@@ -149,3 +149,52 @@ class TorchPSPFPNet(nn.Module):
                           align_corners=False) for p in pyramid[1:]]
         y = self.fpn_module.final_conv(torch.cat(fused, 1))
         return F.interpolate(y, size, mode="bilinear", align_corners=False)
+
+
+class TorchUNet(nn.Module):
+    """Reference-shaped UNet twin (`models/Unet.py:44-223` naming:
+    down_convs.{i}.conv1/conv2/bn1/bn2, up_convs.{i}.upconv/conv1/.../bn2,
+    conv_final); transpose-upconv + concat-merge modes."""
+
+    def __init__(self, num_outputs, depth=3, start_filts=8):
+        super().__init__()
+        downs, ups = [], []
+        ins = 3
+        for i in range(depth):
+            outs = start_filts * (2 ** i)
+            d = nn.Module()
+            d.conv1 = nn.Conv2d(ins, outs, 3, padding=1)
+            d.conv2 = nn.Conv2d(outs, outs, 3, padding=1)
+            d.bn1 = nn.BatchNorm2d(outs)
+            d.bn2 = nn.BatchNorm2d(outs)
+            d.pooling = i < depth - 1
+            downs.append(d)
+            ins = outs
+        for i in range(depth - 1):
+            outs = ins // 2
+            u = nn.Module()
+            u.upconv = nn.ConvTranspose2d(ins, outs, 2, stride=2)
+            u.conv1 = nn.Conv2d(2 * outs, outs, 3, padding=1)
+            u.conv2 = nn.Conv2d(outs, outs, 3, padding=1)
+            u.bn1 = nn.BatchNorm2d(outs)
+            u.bn2 = nn.BatchNorm2d(outs)
+            ups.append(u)
+            ins = outs
+        self.down_convs = nn.ModuleList(downs)
+        self.up_convs = nn.ModuleList(ups)
+        self.conv_final = nn.Conv2d(ins, num_outputs, 1)
+
+    def forward(self, x):
+        skips = []
+        for d in self.down_convs:
+            x = F.relu(d.bn1(d.conv1(x)))
+            x = F.relu(d.bn2(d.conv2(x)))
+            skips.append(x)
+            if d.pooling:
+                x = F.max_pool2d(x, 2, 2)
+        for i, u in enumerate(self.up_convs):
+            x = u.upconv(x)
+            x = torch.cat((x, skips[-(i + 2)]), 1)
+            x = F.relu(u.bn1(u.conv1(x)))
+            x = F.relu(u.bn2(u.conv2(x)))
+        return self.conv_final(x)
