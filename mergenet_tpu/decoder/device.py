@@ -698,6 +698,10 @@ def decode_hierarchical(class_probs, sameness_probs, num_classes, offsets,
     N = H * W
     M = min(max_components, N)
     M2 = min(pair_components, M)
+    # pair keys pack as lo*(M2+1)+hi in int32; beyond this the packing
+    # silently overflows, so fail loudly instead
+    assert (M2 + 1) * (M2 + 1) - 1 <= 2 ** 31 - 1, \
+        "pair_components must be <= 46339 (int32 pair-key packing)"
     f32 = jnp.float32
     omf = f32(object_merge_factor)
     bias = f32(merge_logprob_bias)
