@@ -648,7 +648,7 @@ def decode_hierarchical(class_probs, sameness_probs, num_classes, offsets,
                         same_different_bias=0.0, object_merge_factor=1.0,
                         merge_logprob_bias=0.0, den_mode="sum",
                         ccl_sweeps=3, ccl_margin=2.0,
-                        absorb_thetas=(1.5,),
+                        absorb_thetas=(1.0,),
                         absorb_size_cap=64,
                         max_components=65536, pair_components=8192,
                         pair_slots=65536, pair_rounds=64,
@@ -685,8 +685,8 @@ def decode_hierarchical(class_probs, sameness_probs, num_classes, offsets,
 
     The DEFAULTS are the certified serving configuration: on trained
     PSPFPNet outputs over the synthetic-street val set it reaches mask
-    AP 0.5956 vs the C++ greedy's 0.5493 at the reference 512x1024
-    decode size (AP50 0.826 vs 0.763), and AP 0.4927 vs 0.4855 at
+    AP 0.5911 vs the C++ greedy's 0.5493 at the reference 512x1024
+    decode size (AP50 0.826 vs 0.763), and AP 0.4941 vs 0.4855 at
     256x512 — see docs/benchmarks.md and
     tests/test_decoder_certification.py.
 

@@ -11,7 +11,7 @@ throughput (bench.py >= 3.75 fps/chip) — `decode_hierarchical`'s defaults
 are that configuration; this test pins the quality half.
 
 Full-val-set numbers (12 images, recorded in docs/benchmarks.md):
-256x512  — hier AP 0.4922 / C++ 0.4855;  512x1024 — hier AP 0.5896 /
+256x512  — hier AP 0.4941 / C++ 0.4855;  512x1024 — hier AP 0.5911 /
 C++ 0.5493.
 """
 
