@@ -44,6 +44,10 @@ parser.add_argument("--bf16", action="store_true",
 parser.add_argument("--limits", default=None, type=int)
 parser.add_argument("--job", type=int, default=0)
 parser.add_argument("--num-jobs", type=int, default=1)
+parser.add_argument("--data-parallel", action="store_true",
+                    help="shard batches over all attached devices "
+                         "(mergenet_tpu.serving; batch size must divide "
+                         "by the device count)")
 
 
 def main():
@@ -64,12 +68,25 @@ def main():
                          num_jobs=args.num_jobs)
     loader = DataLoader(dataset, batch_size=args.batch_size)
 
-    infer = build_e2e_infer(
-        model, args.num_classes, offset_list,
-        decode_size=tuple(args.decode_size) if args.decode_size else None,
-        same_different_bias=args.same_different_bias,
-        object_merge_factor=args.object_merge_factor,
-        merge_logprob_bias=args.merge_logprob_bias)
+    if args.data_parallel and len(jax.devices()) > 1:
+        from mergenet_tpu.parallel import make_mesh
+        from mergenet_tpu.serving import build_serving_pipeline
+        mesh = make_mesh(data=len(jax.devices()))
+        infer = build_serving_pipeline(
+            model, args.num_classes, offset_list, mesh,
+            decode_size=tuple(args.decode_size) if args.decode_size
+            else None,
+            same_different_bias=args.same_different_bias,
+            object_merge_factor=args.object_merge_factor,
+            merge_logprob_bias=args.merge_logprob_bias)
+    else:
+        infer = build_e2e_infer(
+            model, args.num_classes, offset_list,
+            decode_size=tuple(args.decode_size) if args.decode_size
+            else None,
+            same_different_bias=args.same_different_bias,
+            object_merge_factor=args.object_merge_factor,
+            merge_logprob_bias=args.merge_logprob_bias)
     variables = {"params": state.params, "batch_stats": state.batch_stats}
 
     pkl_dir = os.path.join(args.dir, args.segment, "pkl")

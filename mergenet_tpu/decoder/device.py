@@ -3,43 +3,39 @@
 The reference decode is an inherently serial priority-queue greedy
 (`utils/segmenter.py:432-483`, `utils/csegment/segment.cc:520-573`): ~43 s
 per 512x1024 frame on one CPU core.  This module reformulates the same
-objective for TPU execution in three phases, chosen around TPU strengths
-(vector ops, rolls, sorts, scans) and around its weakness (low-throughput
-random gather/scatter):
+objective — greedily maximize total image log-likelihood until *no
+component pair with non-negative merge priority remains* — for TPU
+execution out of vector ops, rolls, segmented scans, packed 1-key sorts
+and cumsums (scatters/segment-ops are avoided at large sizes; they're
+10-100x slower than sorts on v5e — docs/benchmarks.md).
 
-Phase 1 — **segmented-scan flood fill** over "surely mergeable" unit-offset
-    edges: an edge (p, p+o), o in {(0,1),(1,0)}, is *strong* when both
-    pixels share an argmax class (=> class_delta_logprob = 0) and its
-    pixel-level merge priority is non-negative — exactly the edges the
-    greedy would merge in some order, in any order (within such a component
-    every pairwise merge keeps cdl = 0 and aggregated log-odds positive).
-    Connected runs are collapsed by segmented min-scans along rows and
-    columns (`lax.associative_scan`) — pure vector work, no gathers.
-    Partial convergence is safe: phase 3 finishes any remaining merges.
+Two decoders share the building blocks (full design: docs/decoder.md):
 
-Phase 2 — **edge compaction**: per-offset component-id grids come from
-    rolls of the label grid (structured, no gather); external edges are
-    front-sorted by one 1-key sort and the top `max_edges` slots kept.
+  * `decode_hierarchical` — the CERTIFIED serving decode (one dispatch,
+    133 ms at 512x1024): conservative flood fill -> same-class absorption
+    round(s) with UP-SIZE hooking (a Pallas kernel fuses the edge scan on
+    TPU) -> one-sort pair dedup -> aggregated Boruvka pair rounds.  On
+    trained-model outputs it BEATS the C++ greedy's mask AP
+    (tests/test_decoder_certification.py).
 
-Phase 3 — **Boruvka rounds by likelihood-gain priority** on the compact
-    component/edge arrays: aggregate each component-pair's object-merge
-    logprob (2-key sort + segment-sum), compute the greedy's exact merge
-    priority ((oml * factor + class_delta) / (n1 + n2) + bias, reference
-    `segment.cc:145-150`, or the 'product' variant `segmenter.py:189-193`),
-    hook every component to its best non-negative partner, contract trees
-    by pointer jumping, scatter-add stats into the surviving roots.  The
-    fixed point satisfies the same "no non-negative-priority merge remains"
-    condition as the serial greedy.
+  * `decode_on_device` / `run_segmentation_device` — the progressive
+    exact mode (the on-device oracle): a rolls-only first Boruvka round
+    (`boruvka_rolls_round`, exact on singletons), then capped aggregated
+    stages with capacities bucketed from MEASURED live counts
+    (overflow-impossible).
 
-Greedy equivalence is exact on oracle inputs and holds at the objective /
-instance level on noisy inputs (tests/test_device_decoder.py).
+Both satisfy the greedy's fixed-point condition; priority formulas match
+the reference exactly ((oml*factor + class_delta)/(n1+n2) + bias,
+`segment.cc:145-150`, or the 'product' variant `segmenter.py:189-193`).
+Greedy equivalence is exact on oracle inputs and held at the instance-AP
+level on trained-model outputs (tests/test_device_decoder.py,
+tests/test_decoder_certification.py).
 
 Layout: channel-last (H, W, C)/(H, W, O) — what the nets emit — so forward
 + decode runs end-to-end on device with no transpose or host round-trip.
 """
 
 import functools
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp
