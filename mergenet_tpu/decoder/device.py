@@ -632,6 +632,170 @@ def relabel_mask(label, root_class, is_instance_root):
     return mask, inst_class
 
 
+
+
+def _pair_phase(comp2d, cls_lp, size, frozen, log_odds, offsets, M2,
+                pair_slots, pair_rounds, den_mode, omf, bias, packed):
+    """Pair dedup + aggregated Boruvka rounds (decode_hierarchical stages
+    3-4; docs/decoder.md).
+
+    comp2d: (H, W) int32 dense ids in [0, M2); cls_lp (M2, C); size (M2,);
+    frozen (M2,) bool.  `packed` (static) selects int32 pair-key packing
+    (requires (M2+1)^2-1 <= 2^31-1) or (lo, hi) 2-key sorts for larger
+    component spaces (the exact-oracle path).  Returns
+    (total_map (M2,), cls_lp, size) with total_map mapping input dense ids
+    to surviving roots."""
+    f32 = jnp.float32
+    P = M2 + 1
+    SENT = P * P - 1 if packed else None  # > any real key; int32-safe
+    froz2d = frozen[comp2d]
+    los, his, keys, omls = [], [], [], []
+    for oi, (di, dj) in enumerate(offsets):
+        c2 = _shift2d(comp2d, di, dj, -1)
+        f2 = _shift2d(froz2d, di, dj, True)
+        ext = (c2 >= 0) & (c2 != comp2d) & ~froz2d & ~f2
+        lo = jnp.minimum(comp2d, c2)
+        hi = jnp.maximum(comp2d, c2)
+        if packed:
+            keys.append(jnp.where(ext, lo * P + hi, SENT).reshape(-1))
+        else:
+            los.append(jnp.where(ext, lo, M2).reshape(-1))
+            his.append(jnp.where(ext, hi, M2).reshape(-1))
+        omls.append(log_odds[:, :, oi].reshape(-1))
+    oml = jnp.concatenate(omls)
+    if packed:
+        key_s, oml_s = jax.lax.sort(
+            (jnp.concatenate(keys), oml), num_keys=1)
+        dead_s = key_s >= SENT
+        first = jnp.concatenate([jnp.ones((1,), bool),
+                                 key_s[1:] != key_s[:-1]])
+    else:
+        lo_s, hi_s, oml_s = jax.lax.sort(
+            (jnp.concatenate(los), jnp.concatenate(his), oml), num_keys=2)
+        dead_s = lo_s >= M2
+        first = jnp.concatenate([
+            jnp.ones((1,), bool),
+            (lo_s[1:] != lo_s[:-1]) | (hi_s[1:] != hi_s[:-1])])
+    # run detection must NOT mask the sentinel block: masking would fold
+    # the sentinels (internal edges) into the last real pair's run and
+    # poison its aggregate with interior log-odds
+    run_id = (jnp.cumsum(first.astype(jnp.int32)) - 1).astype(jnp.int32)
+    # Per-run sums, scatter-free (the straightforward segment_sum +
+    # scatter into pair slots costs ~90 ms at 5.2M edges on v5e — XLA
+    # lowers both as slow scatters): take the GLOBAL running sum of the
+    # (sentinel-zeroed) sorted omls, compact the run-END entries in run
+    # order with one more sort, and difference consecutive compacted
+    # totals — real runs are contiguous in the sorted order (sentinels
+    # form the tail), so total[end_j] - total[end_{j-1}] is exactly run
+    # j's sum.
+    total = jnp.cumsum(jnp.where(dead_s, 0.0, oml_s))
+    last = jnp.concatenate([first[1:], jnp.ones((1,), bool)])
+    sel = last & ~dead_s & (run_id < pair_slots - 1)
+    ordkey = jnp.where(sel, run_id, pair_slots - 1)
+    if packed:
+        ord_s, pk_s, tot_s = jax.lax.sort((ordkey, key_s, total),
+                                          num_keys=1)
+        valid = ord_s[:pair_slots] < pair_slots - 1
+        plo = jnp.where(valid, pk_s[:pair_slots] // P, -1)
+        phi = jnp.where(valid, pk_s[:pair_slots] % P, -1)
+    else:
+        ord_s, plo_s, phi_s, tot_s = jax.lax.sort(
+            (ordkey, lo_s, hi_s, total), num_keys=1)
+        valid = ord_s[:pair_slots] < pair_slots - 1
+        plo = jnp.where(valid, plo_s[:pair_slots], -1)
+        phi = jnp.where(valid, phi_s[:pair_slots], -1)
+    ctot = tot_s[:pair_slots]
+    pair_oml = jnp.where(
+        valid, ctot - jnp.concatenate([jnp.zeros((1,), f32), ctot[:-1]]),
+        0.0)
+
+    # ---- aggregated Boruvka pair rounds ----
+    ids2 = jnp.arange(M2, dtype=jnp.int32)
+    n_jump2 = max(1, int(np.ceil(np.log2(max(M2, 2)))))
+
+    def pair_round(state):
+        plo, phi, poml, total_map, cls_lp, size, _, r = state
+        live = (plo >= 0) & (plo != phi) & ~frozen[jnp.maximum(plo, 0)] \
+            & ~frozen[jnp.maximum(phi, 0)]
+        if packed:
+            k = jnp.where(live, plo * P + phi, SENT)
+            k_s, o_s = jax.lax.sort((k, poml), num_keys=1)
+            dead = k_s >= SENT
+            lo_c = jnp.minimum(k_s // P, M2 - 1)
+            hi_c = jnp.minimum(k_s % P, M2 - 1)
+            f_ = jnp.concatenate([jnp.ones((1,), bool),
+                                  k_s[1:] != k_s[:-1]])
+        else:
+            lo_k = jnp.where(live, plo, M2)
+            hi_k = jnp.where(live, phi, M2)
+            lo_s, hi_s, o_s = jax.lax.sort((lo_k, hi_k, poml), num_keys=2)
+            dead = lo_s >= M2
+            lo_c = jnp.minimum(lo_s, M2 - 1)
+            hi_c = jnp.minimum(hi_s, M2 - 1)
+            f_ = jnp.concatenate([
+                jnp.ones((1,), bool),
+                (lo_s[1:] != lo_s[:-1]) | (hi_s[1:] != hi_s[:-1])])
+        rid = (jnp.cumsum(f_.astype(jnp.int32)) - 1).astype(jnp.int32)
+        agg = jax.ops.segment_sum(o_s, rid, num_segments=pair_slots,
+                                  indices_are_sorted=True)[rid]
+        best_lp = jnp.max(cls_lp, axis=1)
+        joint = cls_lp[lo_c] + cls_lp[hi_c]
+        cdl = jnp.max(joint, axis=1) - best_lp[lo_c] - best_lp[hi_c]
+        n1 = size[lo_c].astype(f32)
+        n2 = size[hi_c].astype(f32)
+        if den_mode == "sum":
+            pri = (agg * omf + cdl) / (n1 + n2) + bias
+        else:
+            pri = (agg * omf + cdl + bias) / (n1 * n2)
+        pri = jnp.where(dead, NEG_INF, pri)
+
+        # UP-SIZE hooking only (see the absorption stage): lo may hook to
+        # hi only when hi is (size, id)-greater, and vice versa — chains
+        # through shared small partners cannot bridge two large comps.
+        hi_up = (n2 > n1) | ((n2 == n1) & (hi_c > lo_c))
+        pri_lo = jnp.where(hi_up, pri, NEG_INF)
+        pri_hi = jnp.where(~hi_up, pri, NEG_INF)
+        comp_best = jnp.maximum(
+            jax.ops.segment_max(pri_lo, lo_c, num_segments=M2),
+            jax.ops.segment_max(pri_hi, hi_c, num_segments=M2))
+        comp_best = jnp.where(jnp.isfinite(comp_best), comp_best, NEG_INF)
+        elig_lo = (pri_lo == comp_best[lo_c]) & ~dead & hi_up
+        elig_hi = (pri_hi == comp_best[hi_c]) & ~dead & ~hi_up
+        partner = jnp.maximum(
+            jax.ops.segment_max(jnp.where(elig_lo, hi_c, -1), lo_c,
+                                num_segments=M2),
+            jax.ops.segment_max(jnp.where(elig_hi, lo_c, -1), hi_c,
+                                num_segments=M2))
+        parent = jnp.where((comp_best >= 0.0) & (partner >= 0),
+                           jnp.maximum(partner, 0), ids2)
+        parent = jnp.where((parent[parent] == ids2) & (ids2 < parent),
+                           ids2, parent)
+        for _ in range(n_jump2):
+            parent = parent[parent]
+        dying = parent != ids2
+        cls_lp = cls_lp.at[parent].add(
+            jnp.where(dying[:, None], cls_lp, 0.0))
+        cls_lp = jnp.where(dying[:, None], 0.0, cls_lp)
+        size = size + jax.ops.segment_sum(jnp.where(dying, size, 0),
+                                          parent, num_segments=M2)
+        size = jnp.where(dying, 0, size)
+        # contract the (sorted) pair arrays for the next round
+        nlo = parent[lo_c]
+        nhi = parent[hi_c]
+        nlo, nhi = jnp.minimum(nlo, nhi), jnp.maximum(nlo, nhi)
+        nlo = jnp.where(dead, -1, nlo)
+        nhi = jnp.where(dead, -1, nhi)
+        total_map = parent[total_map]
+        return (nlo, nhi, o_s, total_map, cls_lp, size,
+                ~jnp.any(dying), r + 1)
+
+    state = (plo, phi, pair_oml, ids2, cls_lp, size,
+             jnp.asarray(False), jnp.asarray(0))
+    (_, _, _, total_map, cls_lp, size, _, _) = jax.lax.while_loop(
+        lambda s: (~s[-2]) & (s[-1] < pair_rounds), pair_round, state)
+    return total_map, cls_lp, size
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("num_classes", "offsets", "den_mode",
@@ -826,124 +990,12 @@ def decode_hierarchical(class_probs, sameness_probs, num_classes, offsets,
         ((frozen | over2) & live).astype(jnp.int32), map2,
         num_segments=M2) > 0
 
-    P = M2 + 1
-    SENT = P * P - 1  # > any real key (lo, hi <= M2-1); int32-safe
-    froz2d = frozen[comp2d]
-    keys, omls = [], []
-    for oi, (di, dj) in enumerate(offsets):
-        c2 = _shift2d(comp2d, di, dj, -1)
-        f2 = _shift2d(froz2d, di, dj, True)
-        ext = (c2 >= 0) & (c2 != comp2d) & ~froz2d & ~f2
-        lo = jnp.minimum(comp2d, c2)
-        hi = jnp.maximum(comp2d, c2)
-        keys.append(jnp.where(ext, lo * P + hi, SENT).reshape(-1))
-        omls.append(log_odds[:, :, oi].reshape(-1))
-    key = jnp.concatenate(keys)
-    oml = jnp.concatenate(omls)
-    key_s, oml_s = jax.lax.sort((key, oml), num_keys=1)
-    # run detection must NOT mask the sentinel block: masking would fold
-    # the sentinels (internal edges) into the last real pair's run and
-    # poison its aggregate with interior log-odds
-    first = jnp.concatenate([jnp.ones((1,), bool),
-                             key_s[1:] != key_s[:-1]])
-    run_id = (jnp.cumsum(first.astype(jnp.int32)) - 1).astype(jnp.int32)
-    # Per-run sums, scatter-free (the straightforward segment_sum +
-    # scatter into pair slots costs ~90 ms at 5.2M edges on v5e — XLA
-    # lowers both as slow scatters): take the GLOBAL running sum of the
-    # (sentinel-zeroed) sorted omls, compact the run-END entries in run
-    # order with one more sort, and difference consecutive compacted
-    # totals — real runs are contiguous in the sorted order (sentinels
-    # form the tail), so total[end_j] - total[end_{j-1}] is exactly run
-    # j's sum.
-    total = jnp.cumsum(jnp.where(key_s < SENT, oml_s, 0.0))
-    last = jnp.concatenate([first[1:], jnp.ones((1,), bool)])
-    real = (key_s < SENT) & (run_id < pair_slots - 1)
-    sel = last & real
-    ordkey = jnp.where(sel, run_id, pair_slots - 1)
-    ord_s, pk_s, tot_s = jax.lax.sort((ordkey, key_s, total), num_keys=1)
-    valid = ord_s[:pair_slots] < pair_slots - 1
-    ctot = tot_s[:pair_slots]
-    pair_key = jnp.where(valid, pk_s[:pair_slots], SENT)
-    pair_oml = jnp.where(
-        valid, ctot - jnp.concatenate([jnp.zeros((1,), f32), ctot[:-1]]),
-        0.0)
-
-    # ---- stage 4: aggregated Boruvka pair rounds ----
-    ids2 = jnp.arange(M2, dtype=jnp.int32)
-    n_jump2 = max(1, int(np.ceil(np.log2(max(M2, 2)))))
-
-    def pair_round(state):
-        plo, phi, poml, total_map, cls_lp, size, _, r = state
-        live = (plo >= 0) & (plo != phi) & ~frozen[jnp.maximum(plo, 0)] \
-            & ~frozen[jnp.maximum(phi, 0)]
-        k = jnp.where(live, plo * P + phi, SENT)
-        k_s, o_s = jax.lax.sort((k, poml), num_keys=1)
-        f_ = jnp.concatenate([jnp.ones((1,), bool), k_s[1:] != k_s[:-1]])
-        rid = (jnp.cumsum(f_.astype(jnp.int32)) - 1).astype(jnp.int32)
-        agg = jax.ops.segment_sum(o_s, rid, num_segments=pair_slots,
-                                  indices_are_sorted=True)[rid]
-        dead = k_s >= SENT
-        lo_c = jnp.minimum(k_s // P, M2 - 1)
-        hi_c = jnp.minimum(k_s % P, M2 - 1)
-        best_lp = jnp.max(cls_lp, axis=1)
-        joint = cls_lp[lo_c] + cls_lp[hi_c]
-        cdl = jnp.max(joint, axis=1) - best_lp[lo_c] - best_lp[hi_c]
-        n1 = size[lo_c].astype(f32)
-        n2 = size[hi_c].astype(f32)
-        if den_mode == "sum":
-            pri = (agg * omf + cdl) / (n1 + n2) + bias
-        else:
-            pri = (agg * omf + cdl + bias) / (n1 * n2)
-        pri = jnp.where(dead, NEG_INF, pri)
-
-        # UP-SIZE hooking only (see the absorption stage): lo may hook to
-        # hi only when hi is (size, id)-greater, and vice versa — chains
-        # through shared small partners cannot bridge two large comps.
-        hi_up = (n2 > n1) | ((n2 == n1) & (hi_c > lo_c))
-        pri_lo = jnp.where(hi_up, pri, NEG_INF)
-        pri_hi = jnp.where(~hi_up, pri, NEG_INF)
-        comp_best = jnp.maximum(
-            jax.ops.segment_max(pri_lo, lo_c, num_segments=M2),
-            jax.ops.segment_max(pri_hi, hi_c, num_segments=M2))
-        comp_best = jnp.where(jnp.isfinite(comp_best), comp_best, NEG_INF)
-        elig_lo = (pri_lo == comp_best[lo_c]) & ~dead & hi_up
-        elig_hi = (pri_hi == comp_best[hi_c]) & ~dead & ~hi_up
-        partner = jnp.maximum(
-            jax.ops.segment_max(jnp.where(elig_lo, hi_c, -1), lo_c,
-                                num_segments=M2),
-            jax.ops.segment_max(jnp.where(elig_hi, lo_c, -1), hi_c,
-                                num_segments=M2))
-        parent = jnp.where((comp_best >= 0.0) & (partner >= 0),
-                           jnp.maximum(partner, 0), ids2)
-        parent = jnp.where((parent[parent] == ids2) & (ids2 < parent),
-                           ids2, parent)
-        for _ in range(n_jump2):
-            parent = parent[parent]
-        dying = parent != ids2
-        cls_lp = cls_lp.at[parent].add(
-            jnp.where(dying[:, None], cls_lp, 0.0))
-        cls_lp = jnp.where(dying[:, None], 0.0, cls_lp)
-        size = size + jax.ops.segment_sum(jnp.where(dying, size, 0),
-                                          parent, num_segments=M2)
-        size = jnp.where(dying, 0, size)
-        # contract the (sorted) pair arrays for the next round
-        plo = parent[lo_c]
-        phi = parent[hi_c]
-        plo, phi = jnp.minimum(plo, phi), jnp.maximum(plo, phi)
-        plo = jnp.where(dead, -1, plo)
-        phi = jnp.where(dead, -1, phi)
-        total_map = parent[total_map]
-        return (plo, phi, o_s, total_map, cls_lp, size,
-                ~jnp.any(dying), r + 1)
-
-    plo = jnp.where(pair_key < SENT, pair_key // P, -1)
-    phi = jnp.where(pair_key < SENT, pair_key % P, -1)
-    state = (plo, phi, pair_oml, ids2, cls_lp, size,
-             jnp.asarray(False), jnp.asarray(0))
-    (_, _, _, total_map, cls_lp, size, _, _) = jax.lax.while_loop(
-        lambda s: (~s[-2]) & (s[-1] < pair_rounds), pair_round, state)
+    total_map, cls_lp, size = _pair_phase(
+        comp2d, cls_lp, size, frozen, log_odds, offsets, M2, pair_slots,
+        pair_rounds, den_mode, omf, bias, packed=True)
 
     comp = total_map[comp2d.reshape(-1)].reshape(H, W)
+    ids2 = jnp.arange(M2, dtype=jnp.int32)
     root_class = jnp.argmax(cls_lp, axis=1).astype(jnp.int32)
     is_root = size > 0
     if do_prune:
@@ -957,6 +1009,93 @@ def decode_hierarchical(class_probs, sameness_probs, num_classes, offsets,
         root_class = jnp.where(weak, 0, root_class)
         is_root = is_root & ~weak
     is_instance_root = is_root & (root_class != 0) & ~frozen
+    return comp, root_class, is_instance_root
+
+
+
+@functools.partial(jax.jit, static_argnames=("offsets",))
+def _count_unique_pairs(label2d, offsets):
+    """Number of distinct component pairs linked by any (pixel, offset)
+    edge, for labels given as root PIXEL ids — sizes the exact finisher's
+    `pair_slots` so nothing can overflow."""
+    H, W = label2d.shape
+    los, his = [], []
+    for (di, dj) in offsets:
+        other = _shift2d(label2d, di, dj, -1)
+        ext = (other >= 0) & (other != label2d)
+        lo = jnp.minimum(label2d, other)
+        hi = jnp.maximum(label2d, other)
+        los.append(jnp.where(ext, lo, jnp.int32(2 ** 30)).reshape(-1))
+        his.append(jnp.where(ext, hi, jnp.int32(2 ** 30)).reshape(-1))
+    lo_s, hi_s = jax.lax.sort(
+        (jnp.concatenate(los), jnp.concatenate(his)), num_keys=2)
+    first = jnp.concatenate([
+        jnp.ones((1,), bool),
+        (lo_s[1:] != lo_s[:-1]) | (hi_s[1:] != hi_s[:-1])])
+    return jnp.sum((first & (lo_s < 2 ** 30)).astype(jnp.int32))
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("num_classes", "offsets", "den_mode",
+                     "same_different_bias", "object_merge_factor",
+                     "merge_logprob_bias", "max_components", "pair_slots",
+                     "pair_rounds", "do_prune", "prune_threshold"))
+def _pair_exact_finish(class_probs, sameness_probs, num_classes, offsets,
+                       initial_labels, same_different_bias=0.0,
+                       object_merge_factor=1.0, merge_logprob_bias=0.0,
+                       den_mode="sum", max_components=65536,
+                       pair_slots=262144, pair_rounds=64, do_prune=False,
+                       prune_threshold=200.0):
+    """Exact finisher for `run_segmentation_device`: pure aggregated
+    Boruvka pair rounds from `initial_labels` (self-rooted root pixel
+    ids, e.g. a `boruvka_rolls_round` result).
+
+    The caller guarantees `max_components` >= live components and
+    `pair_slots` > unique pairs (`_count_unique_pairs`), so nothing
+    freezes or drops — exact aggregated semantics, at pair-array sizes
+    instead of `decode_on_device`'s full-edge-count rounds (~20x faster).
+    Uses `_pair_phase` in 2-key mode when the component space exceeds the
+    int32 packing range."""
+    H, W, C = class_probs.shape
+    N = H * W
+    M2 = min(max_components, N)
+    f32 = jnp.float32
+    omf = f32(object_merge_factor)
+    bias = f32(merge_logprob_bias)
+    cls_lp_pix, log_odds = _log_domain(class_probs, sameness_probs,
+                                       same_different_bias)
+    flat = initial_labels.reshape(-1).astype(jnp.int32)
+    is_rep = (flat == jnp.arange(N, dtype=flat.dtype)).astype(jnp.int32)
+    dense = (jnp.cumsum(is_rep) - 1).astype(jnp.int32)
+    comp_of_pix = jnp.minimum(dense[flat], M2 - 1)
+    comp2d = comp_of_pix.reshape(H, W)
+    cls_lp = jax.ops.segment_sum(cls_lp_pix.reshape(N, C), comp_of_pix,
+                                 num_segments=M2)
+    size = jax.ops.segment_sum(jnp.ones((N,), jnp.int32), comp_of_pix,
+                               num_segments=M2)
+    frozen = jnp.zeros((M2,), bool)
+
+    packed = (M2 + 1) * (M2 + 1) - 1 <= 2 ** 31 - 1
+    total_map, cls_lp, size = _pair_phase(
+        comp2d, cls_lp, size, frozen, log_odds, offsets, M2, pair_slots,
+        pair_rounds, den_mode, omf, bias, packed=packed)
+
+    comp = total_map[comp2d.reshape(-1)].reshape(H, W)
+    ids2 = jnp.arange(M2, dtype=jnp.int32)
+    root_class = jnp.argmax(cls_lp, axis=1).astype(jnp.int32)
+    is_root = size > 0
+    if do_prune:
+        best_lp = jnp.max(cls_lp, axis=1)
+        advantage = best_lp - cls_lp[:, 0]
+        bg_size = jnp.where(is_root & (root_class == 0), size, -1)
+        bg_root = jnp.argmax(bg_size).astype(jnp.int32)
+        weak = is_root & (advantage < prune_threshold) & (ids2 != bg_root)
+        parent = jnp.where(weak, bg_root, ids2)
+        comp = parent[comp.reshape(-1)].reshape(H, W)
+        root_class = jnp.where(weak, 0, root_class)
+        is_root = is_root & ~weak
+    is_instance_root = is_root & (root_class != 0)
     return comp, root_class, is_instance_root
 
 
@@ -1062,30 +1201,19 @@ def run_segmentation_device(class_probs, sameness_probs, num_classes,
             do_prune=do_prune, prune_threshold=prune_threshold,
             max_rounds=max_rounds, **hyper)
     else:
+        # exact mode: rolls round collapses singletons, then pure
+        # aggregated Boruvka pair rounds with MEASURED (overflow-proof)
+        # capacities — ~20x faster than the old per-stage full-edge-count
+        # rounds with identical aggregated semantics
         label, n_comp, n_ext = boruvka_rolls_round(
             cp, sp, num_classes, offsets, **hyper)
-        n_comp, n_ext = int(n_comp), int(n_ext)
-        rounds_left = max_rounds
-        while True:
-            chunk = min(rounds_per_stage, max(rounds_left, 1))
-            (comp, root_class, is_inst, label, done, n_comp_d,
-             n_ext_d) = decode_on_device(
-                cp, sp, num_classes, offsets, initial_labels=label,
-                max_components=_bucket(n_comp, 4096),
-                max_edges=_bucket(n_ext, 16384),
-                max_rounds=chunk, emit_stats=True, **hyper)
-            n_comp, n_ext = int(n_comp_d), int(n_ext_d)
-            rounds_left -= chunk
-            if bool(done) or rounds_left <= 0:
-                break
-        if do_prune:
-            # prune only once the merge fixed point is reached (pruning
-            # mid-decode would corrupt later aggregation)
-            comp, root_class, is_inst = decode_on_device(
-                cp, sp, num_classes, offsets, initial_labels=label,
-                max_components=_bucket(n_comp, 4096),
-                max_edges=_bucket(n_ext, 16384), max_rounds=1,
-                do_prune=True, prune_threshold=prune_threshold, **hyper)
+        n_pairs = int(_count_unique_pairs(label, offsets))
+        comp, root_class, is_inst = _pair_exact_finish(
+            cp, sp, num_classes, offsets, initial_labels=label,
+            max_components=_bucket(int(n_comp), 4096),
+            pair_slots=_bucket(n_pairs + 2, 16384),
+            pair_rounds=max_rounds, do_prune=do_prune,
+            prune_threshold=prune_threshold, **hyper)
         label = comp
     mask, inst_class = relabel_mask(label, root_class, is_inst)
     mask = np.asarray(mask)
