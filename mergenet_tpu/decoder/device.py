@@ -331,15 +331,14 @@ def _flood_fill(argmax_pix, log_odds, offsets, den_mode, omf, bias,
                      "object_merge_factor", "merge_logprob_bias",
                      "prune_threshold", "max_components", "max_edges",
                      "ccl_sweeps", "ccl_margin", "anneal_start",
-                     "anneal_halvings", "emit_stats"))
+                     "anneal_halvings"))
 def decode_on_device(class_probs, sameness_probs, num_classes, offsets,
                      same_different_bias=0.0, object_merge_factor=1.0,
                      merge_logprob_bias=0.0, den_mode="sum",
                      do_prune=False, prune_threshold=200.0,
                      max_rounds=64, max_components=None, max_edges=None,
                      ccl_sweeps=0, ccl_margin=0.0, anneal_start=32.0,
-                     anneal_halvings=0, initial_labels=None,
-                     emit_stats=False):
+                     anneal_halvings=0, initial_labels=None):
     """Decode one image into instances, entirely on device.
 
     Args:
@@ -368,18 +367,10 @@ def decode_on_device(class_probs, sameness_probs, num_classes, offsets,
         initial_labels: optional (H, W) int32 starting component labels;
             replaces the phase-1 flood fill.  Labels must be root PIXEL
             ids with the self-rooted property label.flat[root] == root
-            (what `boruvka_rolls_round` and `emit_stats=True` return).
-            Enables staged decoding: collapse singletons first, feed the
-            labels back with capacity caps so the compaction works on far
-            fewer components (see `run_segmentation_device(exact=True)`).
-        emit_stats: static; when True return
-            (pixel_labels, root_class, is_instance_root, done, n_comp,
-            n_ext) where pixel_labels are self-rooted root pixel ids
-            (chainable as initial_labels), done says the merge fixed point
-            was reached within max_rounds, and n_comp / n_ext are the live
-            component / external (pixel, offset) edge counts — what a
-            progressive-recompaction driver needs to pick the next stage's
-            capacities.
+            (what `boruvka_rolls_round` returns).  Enables staged
+            decoding: collapse singletons first, feed the labels back
+            with capacity caps so the compaction works on far fewer
+            components (see `decode_on_device_staged`).
         anneal_start / anneal_halvings: phase-3 priority-threshold
             annealing: round r only applies merges with priority >=
             anneal_start * 0.5^r (0 after anneal_halvings rounds).  This
@@ -566,7 +557,7 @@ def decode_on_device(class_probs, sameness_probs, num_classes, offsets,
 
     state = (ea, eb, comp_ids, cls_lp, size, frozen,
              jnp.asarray(False), jnp.asarray(0))
-    (ea, eb, total_map, cls_lp, size, frozen, done,
+    (ea, eb, total_map, cls_lp, size, frozen, _,
      rounds) = jax.lax.while_loop(cond, round_body, state)
 
     comp = total_map[comp2d.reshape(-1)].reshape(H, W)
@@ -590,23 +581,7 @@ def decode_on_device(class_probs, sameness_probs, num_classes, offsets,
     # emitting them as instances would spray fragments — fold them into
     # background instead (under-segmentation beats garbage instances)
     is_instance_root = is_root & (root_class != 0) & ~frozen
-    if not emit_stats:
-        return comp, root_class, is_instance_root
-
-    # progressive-recompaction stats: self-rooted pixel labels (chainable
-    # as initial_labels) + live component / external edge counts
-    comp_flat = comp.reshape(-1)
-    rep_pixel = jax.ops.segment_min(
-        jnp.arange(N, dtype=jnp.int32), comp_flat, num_segments=M)
-    pixel_labels = rep_pixel[comp_flat].reshape(H, W)
-    n_live = jnp.sum(is_root.astype(jnp.int32))
-    n_ext = jnp.zeros((), jnp.int32)
-    for (di, dj) in offsets:
-        other = _shift2d(pixel_labels, di, dj, -1)
-        n_ext = n_ext + jnp.sum(((other >= 0) &
-                                 (other != pixel_labels)).astype(jnp.int32))
-    return (comp, root_class, is_instance_root, pixel_labels, done,
-            n_live, n_ext)
+    return comp, root_class, is_instance_root
 
 
 @jax.jit
@@ -1170,7 +1145,7 @@ def run_segmentation_device(class_probs, sameness_probs, num_classes,
                             den_mode="sum", do_prune=False,
                             prune_threshold=200.0, max_rounds=48,
                             max_components=None, max_edges=None,
-                            rounds_per_stage=8, mode="exact"):
+                            mode="exact"):
     """Host-friendly wrapper with the csegment.run_segmentation signature:
     accepts channel-first (C, H, W)/(O, H, W) numpy arrays and returns
     (mask, object_class list).
