@@ -159,3 +159,38 @@ def test_device_decode_batched_vmap():
                      if v != -1][:int(np.asarray(masks[b]).max())]
         assert matches_ground_truth(np.asarray(masks[b]), classes_b,
                                     inst, classes)
+
+
+def test_pair_phase_packed_and_twokey_agree():
+    """_pair_phase's int32-packed and 2-key sort variants are
+    interchangeable (the exact oracle uses 2-key when the component space
+    exceeds the packing range; the serving decode always packs)."""
+    from mergenet_tpu.decoder.device import _pair_phase, _log_domain
+    import jax.numpy as jnp
+
+    rng = np.random.RandomState(7)
+    H, W, C, M2 = 32, 64, 4, 64
+    offsets = ((0, 1), (1, 0), (2, 3))
+    comp2d = jnp.asarray(rng.randint(0, M2, (H, W)).astype(np.int32))
+    cp = rng.rand(H, W, C).astype(np.float32)
+    sp = rng.rand(H, W, len(offsets)).astype(np.float32)
+    cls_lp_pix, log_odds = _log_domain(jnp.asarray(cp), jnp.asarray(sp),
+                                       0.0)
+    comp_flat = np.asarray(comp2d).reshape(-1)
+    cls_lp = jnp.asarray(np.stack([
+        np.log(np.clip(cp, 1.2e-7, 1)).reshape(-1, C)[comp_flat == m].sum(0)
+        for m in range(M2)]))
+    size = jnp.asarray(np.bincount(comp_flat, minlength=M2)
+                       .astype(np.int32))
+    frozen = jnp.zeros((M2,), bool)
+
+    outs = {}
+    for packed in (True, False):
+        tm, cl, sz = _pair_phase(
+            comp2d, cls_lp, size, frozen, log_odds, offsets, M2,
+            pair_slots=4096, pair_rounds=32, den_mode="sum",
+            omf=jnp.float32(1.0), bias=jnp.float32(0.03), packed=packed)
+        outs[packed] = (np.asarray(tm), np.asarray(cl), np.asarray(sz))
+    np.testing.assert_array_equal(outs[True][0], outs[False][0])
+    np.testing.assert_allclose(outs[True][1], outs[False][1], rtol=1e-5)
+    np.testing.assert_array_equal(outs[True][2], outs[False][2])
