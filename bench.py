@@ -30,6 +30,20 @@ import time
 import numpy as np
 
 
+def _scene_layout(rng, DH, DW, num_classes):
+    """Shared instance layout of both benchmark scenes: ~14 overlapping
+    rectangles with random classes (the stress and the trained-stats
+    scenes must agree on geometry to be comparable)."""
+    inst = np.zeros((DH, DW), np.int32)
+    classes = {0: 0}
+    for k in range(1, 15):
+        r, c = rng.randint(0, DH - 80), rng.randint(0, DW - 120)
+        h, w = rng.randint(30, 80), rng.randint(40, 120)
+        inst[r:r + h, c:c + w] = k
+        classes[k] = rng.randint(1, num_classes)
+    return inst, classes
+
+
 def _street_scene(DH, DW, num_classes, offsets, seed=0, conf=0.85,
                   noise=0.1):
     """Synthetic street scene: background + ~14 instance rectangles with
@@ -38,13 +52,7 @@ def _street_scene(DH, DW, num_classes, offsets, seed=0, conf=0.85,
     harsher than any trained model's output; see `_trained_stats_scene`
     for the deployment-realistic one)."""
     rng = np.random.RandomState(seed)
-    inst = np.zeros((DH, DW), np.int32)
-    classes = {0: 0}
-    for k in range(1, 15):
-        r, c = rng.randint(0, DH - 80), rng.randint(0, DW - 120)
-        h, w = rng.randint(30, 80), rng.randint(40, 120)
-        inst[r:r + h, c:c + w] = k
-        classes[k] = rng.randint(1, num_classes)
+    inst, classes = _scene_layout(rng, DH, DW, num_classes)
     O = len(offsets)
     cp = np.full((DH, DW, num_classes), (1 - conf) / (num_classes - 1),
                  np.float32)
@@ -71,13 +79,7 @@ def _trained_stats_scene(DH, DW, num_classes, offsets, seed=0):
     and the deployment distribution is trained-model output, not uniform
     noise."""
     rng = np.random.RandomState(seed)
-    inst = np.zeros((DH, DW), np.int32)
-    classes = {0: 0}
-    for k in range(1, 15):
-        r, c = rng.randint(0, DH - 80), rng.randint(0, DW - 120)
-        h, w = rng.randint(30, 80), rng.randint(40, 120)
-        inst[r:r + h, c:c + w] = k
-        classes[k] = rng.randint(1, num_classes)
+    inst, classes = _scene_layout(rng, DH, DW, num_classes)
     O = len(offsets)
 
     # boundary band: within 3 px of any instance-id change
@@ -153,7 +155,7 @@ def main():
     @jax.jit
     def decode(cp, sp):
         # the CERTIFIED serving configuration (decode_hierarchical
-        # defaults): AP 0.5956 vs C++ greedy 0.5493 on trained-model
+        # defaults): AP 0.5911 vs C++ greedy 0.5493 on trained-model
         # outputs at this decode size (tests/test_decoder_certification)
         label, root_class, is_inst = decode_hierarchical(
             cp, sp, num_classes, offsets, object_merge_factor=1.0,

@@ -92,10 +92,19 @@ def main():
     pkl_dir = os.path.join(args.dir, args.segment, "pkl")
     os.makedirs(pkl_dir, exist_ok=True)
     exist = set(next(os.walk(pkl_dir))[2])
+    n_dev = len(jax.devices()) if args.data_parallel else 1
     for image_ids, imgs, sizes in loader:
         if all(str(int(i)) + ".pkl" in exist for i in image_ids):
             continue
+        n_real = imgs.shape[0]
+        if n_real % n_dev:
+            # pad the final partial batch to the device multiple (shard_map
+            # requires divisibility); padded outputs are dropped below
+            pad = n_dev - n_real % n_dev
+            imgs = np.concatenate([imgs, np.repeat(imgs[-1:], pad, 0)], 0)
         masks, inst_classes = infer(variables, imgs)
+        masks = masks[:n_real]
+        inst_classes = inst_classes[:n_real]
         results = masks_to_results(masks, inst_classes, image_ids,
                                    dataset.catIds)
         by_img = {}

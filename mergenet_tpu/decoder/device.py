@@ -413,8 +413,7 @@ def decode_on_device(class_probs, sameness_probs, num_classes, offsets,
     flat = label.reshape(-1)
     is_rep = (flat == jnp.arange(N, dtype=flat.dtype)).astype(jnp.int32)
     dense = (jnp.cumsum(is_rep) - 1).astype(jnp.int32)  # rep pixel -> dense
-    n_comp = dense[-1] + 1
-    comp_of_pix = dense[flat]                  # (N,) in [0, n_comp)
+    comp_of_pix = dense[flat]                  # (N,) in [0, #components)
     overflow = comp_of_pix >= M                # frozen if capacity exceeded
     comp_clamped = jnp.minimum(comp_of_pix, M - 1)
     comp2d = comp_clamped.reshape(H, W)
@@ -561,27 +560,8 @@ def decode_on_device(class_probs, sameness_probs, num_classes, offsets,
      rounds) = jax.lax.while_loop(cond, round_body, state)
 
     comp = total_map[comp2d.reshape(-1)].reshape(H, W)
-    root_class = jnp.argmax(cls_lp, axis=1).astype(jnp.int32)
-    is_root = size > 0
-
-    if do_prune:
-        best_lp = jnp.max(cls_lp, axis=1)
-        advantage = best_lp - cls_lp[:, 0]
-        bg_candidates = is_root & (root_class == 0)
-        bg_size = jnp.where(bg_candidates, size, -1)
-        bg_root = jnp.argmax(bg_size).astype(jnp.int32)
-        weak = is_root & (advantage < prune_threshold) & \
-            (comp_ids != bg_root)
-        parent = jnp.where(weak, bg_root, comp_ids)
-        comp = parent[comp.reshape(-1)].reshape(H, W)
-        root_class = jnp.where(weak, 0, root_class)
-        is_root = is_root & ~weak
-
-    # frozen components (capacity overflow) were never allowed to merge;
-    # emitting them as instances would spray fragments — fold them into
-    # background instead (under-segmentation beats garbage instances)
-    is_instance_root = is_root & (root_class != 0) & ~frozen
-    return comp, root_class, is_instance_root
+    return _finalize_components(comp, cls_lp, size, frozen, M, do_prune,
+                                prune_threshold)
 
 
 @jax.jit
@@ -607,6 +587,63 @@ def relabel_mask(label, root_class, is_instance_root):
     return mask, inst_class
 
 
+
+
+
+def _finalize_components(comp, cls_lp, size, frozen, M, do_prune,
+                         prune_threshold):
+    """Shared epilogue of every decode path: optional prune (fold weak
+    components into the biggest background component, reference
+    `segmenter.py:351-375`) + the instance-root mask; frozen
+    (capacity-overflow) components fold to background rather than being
+    emitted as fragments."""
+    ids = jnp.arange(M, dtype=jnp.int32)
+    root_class = jnp.argmax(cls_lp, axis=1).astype(jnp.int32)
+    is_root = size > 0
+    if do_prune:
+        best_lp = jnp.max(cls_lp, axis=1)
+        advantage = best_lp - cls_lp[:, 0]
+        bg_size = jnp.where(is_root & (root_class == 0), size, -1)
+        bg_root = jnp.argmax(bg_size).astype(jnp.int32)
+        weak = is_root & (advantage < prune_threshold) & (ids != bg_root)
+        parent = jnp.where(weak, bg_root, ids)
+        comp = parent[comp.reshape(-1)].reshape(comp.shape)
+        root_class = jnp.where(weak, 0, root_class)
+        is_root = is_root & ~weak
+    is_instance_root = is_root & (root_class != 0) & ~frozen
+    return comp, root_class, is_instance_root
+
+
+
+def _stable_cumsum(x, block=1024):
+    """Running sum whose DIFFERENCES between nearby read-out points stay
+    accurate at millions of elements.
+
+    A flat float32 cumsum at E ~ 5M with totals ~1e6-1e7 accumulates
+    rounding drift of order 1 between run boundaries — enough to flip the
+    sign of near-zero merge priorities when `_pair_phase` differences
+    consecutive run-end totals.  Blocking bounds each within-block partial
+    to ~16k (per-add rounding ~1e-3), and the per-block bases come from a
+    compensated (TwoSum-carry) scan over the few thousand block totals,
+    so base differences are exact to ~1e-3 as well."""
+    n = x.shape[0]
+    nb = -(-n // block)
+    xb = jnp.pad(x, (0, nb * block - n)).reshape(nb, block)
+    within = jnp.cumsum(xb, axis=1)
+    btot = within[:, -1]
+
+    def two_sum(a, b):
+        ah, al = a
+        bh, bl = b
+        s = ah + bh
+        z = s - ah
+        e = (ah - (s - z)) + (bh - z)
+        return (s, al + bl + e)
+
+    hi, lo = jax.lax.associative_scan(
+        two_sum, (btot, jnp.zeros_like(btot)))
+    base = jnp.concatenate([jnp.zeros((1,), x.dtype), (hi + lo)[:-1]])
+    return (base[:, None] + within).reshape(-1)[:n]
 
 
 def _pair_phase(comp2d, cls_lp, size, frozen, log_odds, offsets, M2,
@@ -663,7 +700,7 @@ def _pair_phase(comp2d, cls_lp, size, frozen, log_odds, offsets, M2,
     # totals — real runs are contiguous in the sorted order (sentinels
     # form the tail), so total[end_j] - total[end_{j-1}] is exactly run
     # j's sum.
-    total = jnp.cumsum(jnp.where(dead_s, 0.0, oml_s))
+    total = _stable_cumsum(jnp.where(dead_s, 0.0, oml_s))
     last = jnp.concatenate([first[1:], jnp.ones((1,), bool)])
     sel = last & ~dead_s & (run_id < pair_slots - 1)
     ordkey = jnp.where(sel, run_id, pair_slots - 1)
@@ -970,21 +1007,8 @@ def decode_hierarchical(class_probs, sameness_probs, num_classes, offsets,
         pair_rounds, den_mode, omf, bias, packed=True)
 
     comp = total_map[comp2d.reshape(-1)].reshape(H, W)
-    ids2 = jnp.arange(M2, dtype=jnp.int32)
-    root_class = jnp.argmax(cls_lp, axis=1).astype(jnp.int32)
-    is_root = size > 0
-    if do_prune:
-        best_lp = jnp.max(cls_lp, axis=1)
-        advantage = best_lp - cls_lp[:, 0]
-        bg_size = jnp.where(is_root & (root_class == 0), size, -1)
-        bg_root = jnp.argmax(bg_size).astype(jnp.int32)
-        weak = is_root & (advantage < prune_threshold) & (ids2 != bg_root)
-        parent = jnp.where(weak, bg_root, ids2)
-        comp = parent[comp.reshape(-1)].reshape(H, W)
-        root_class = jnp.where(weak, 0, root_class)
-        is_root = is_root & ~weak
-    is_instance_root = is_root & (root_class != 0) & ~frozen
-    return comp, root_class, is_instance_root
+    return _finalize_components(comp, cls_lp, size, frozen, M2, do_prune,
+                                prune_threshold)
 
 
 
@@ -1043,13 +1067,18 @@ def _pair_exact_finish(class_probs, sameness_probs, num_classes, offsets,
     flat = initial_labels.reshape(-1).astype(jnp.int32)
     is_rep = (flat == jnp.arange(N, dtype=flat.dtype)).astype(jnp.int32)
     dense = (jnp.cumsum(is_rep) - 1).astype(jnp.int32)
-    comp_of_pix = jnp.minimum(dense[flat], M2 - 1)
+    raw = dense[flat]
+    comp_of_pix = jnp.minimum(raw, M2 - 1)
     comp2d = comp_of_pix.reshape(H, W)
     cls_lp = jax.ops.segment_sum(cls_lp_pix.reshape(N, C), comp_of_pix,
                                  num_segments=M2)
     size = jax.ops.segment_sum(jnp.ones((N,), jnp.int32), comp_of_pix,
                                num_segments=M2)
-    frozen = jnp.zeros((M2,), bool)
+    # the caller guarantees capacity; if it is ever violated, freeze the
+    # clamp slot (where all overflow collapses) instead of emitting a
+    # garbage merged instance
+    frozen = jnp.zeros((M2,), bool).at[M2 - 1].set(
+        jnp.any(raw >= M2))
 
     packed = (M2 + 1) * (M2 + 1) - 1 <= 2 ** 31 - 1
     total_map, cls_lp, size = _pair_phase(
@@ -1057,37 +1086,25 @@ def _pair_exact_finish(class_probs, sameness_probs, num_classes, offsets,
         pair_rounds, den_mode, omf, bias, packed=packed)
 
     comp = total_map[comp2d.reshape(-1)].reshape(H, W)
-    ids2 = jnp.arange(M2, dtype=jnp.int32)
-    root_class = jnp.argmax(cls_lp, axis=1).astype(jnp.int32)
-    is_root = size > 0
-    if do_prune:
-        best_lp = jnp.max(cls_lp, axis=1)
-        advantage = best_lp - cls_lp[:, 0]
-        bg_size = jnp.where(is_root & (root_class == 0), size, -1)
-        bg_root = jnp.argmax(bg_size).astype(jnp.int32)
-        weak = is_root & (advantage < prune_threshold) & (ids2 != bg_root)
-        parent = jnp.where(weak, bg_root, ids2)
-        comp = parent[comp.reshape(-1)].reshape(H, W)
-        root_class = jnp.where(weak, 0, root_class)
-        is_root = is_root & ~weak
-    is_instance_root = is_root & (root_class != 0)
-    return comp, root_class, is_instance_root
+    return _finalize_components(comp, cls_lp, size, frozen, M2, do_prune,
+                                prune_threshold)
 
 
 def decode_on_device_staged(class_probs, sameness_probs, num_classes,
-                            offsets, stage2_components=8, stage2_edges=2,
-                            **kw):
-    """Exact decode in two stages inside one traceable computation: the
+                            offsets, stage1_rounds=4, stage2_components=8,
+                            stage2_edges=2, **kw):
+    """Exact decode in three stages inside one traceable computation: the
     rolls-only first Boruvka round collapses the half-million singleton
-    components with no sorts (`boruvka_rolls_round`), then the labels feed
-    a capped aggregated pass whose compaction works on the few surviving
-    components.  Identical results to the single-pass exact decode on
-    inputs whose round-1 contraction fits the stage-2 capacities
-    (overflowing components freeze into background — raise the divisors
-    if that ever fires; `run_segmentation_device` instead measures the
-    counts and picks overflow-proof capacities).
+    components with no sorts (`boruvka_rolls_round`), a few UNCAPPED
+    aggregated rounds contract the survivors far below the stage-3
+    capacities (one rolls round alone leaves millions of external edges —
+    capping straight away would overflow `max_edges` and silently drop
+    later offsets' pair evidence), then a capped pass finishes cheaply.
+    `run_segmentation_device` is the stronger alternative when host
+    orchestration is allowed: it measures the counts and picks
+    overflow-proof capacities.
 
-    stage2_components / stage2_edges: capacity divisors for the second
+    stage2_components / stage2_edges: capacity divisors for the final
     pass (N // stage2_components, N // stage2_edges)."""
     H, W = class_probs.shape[:2]
     N = H * W
@@ -1098,9 +1115,18 @@ def decode_on_device_staged(class_probs, sameness_probs, num_classes,
                               "merge_logprob_bias", "den_mode") if k in kw}
     lab1, _, _ = boruvka_rolls_round(
         class_probs, sameness_probs, num_classes, offsets, **kw1)
+    lab2, _, _ = decode_on_device(
+        class_probs, sameness_probs, num_classes, offsets,
+        initial_labels=lab1, max_rounds=stage1_rounds, **kw1)
+    # decode_on_device returns dense component ids; re-anchor them to
+    # self-rooted pixel ids for the initial_labels contract
+    flat2 = lab2.reshape(-1)
+    rep_pixel = jax.ops.segment_min(
+        jnp.arange(N, dtype=jnp.int32), flat2, num_segments=N)
+    lab2 = rep_pixel[flat2].reshape(H, W)
     return decode_on_device(
         class_probs, sameness_probs, num_classes, offsets,
-        initial_labels=lab1,
+        initial_labels=lab2,
         max_components=max(4096, N // stage2_components),
         max_edges=max(16384, N // stage2_edges), **kw)
 

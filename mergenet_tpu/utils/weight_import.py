@@ -260,8 +260,15 @@ def load_pretrained(params, batch_stats, path, arch, layer=None,
     from .checkpoint import import_torch_checkpoint
     flat, _ = import_torch_checkpoint(path)
     full = any(k.startswith("resnet.") for k in flat)
-    mapping = (model_mapping(arch, layer) if full
-               else backbone_mapping(arch, layer))
+    if arch in ("unet", "unet_small") or any(
+            k.startswith("down_convs.") for k in flat):
+        # UNet checkpoints have no backbone/full split
+        full = True
+        mapping = model_mapping(arch if arch.startswith("unet")
+                                else "unet")
+    else:
+        mapping = (model_mapping(arch, layer) if full
+                   else backbone_mapping(arch, layer))
     params, batch_stats, report = apply_torch_weights(
         params, batch_stats, flat, mapping)
     if verbose:
