@@ -316,10 +316,27 @@ def _flood_fill(argmax_pix, log_odds, offsets, den_mode, omf, bias,
                 label = scan_axis(label, h_links[0], h_links[1], 1)
             if v_links is not None:
                 label = scan_axis(label, v_links[0], v_links[1], 0)
-        # canonicalize: two pointer-jump passes over pixel labels
+        # canonicalize to a FIXED POINT (flat[flat] == flat).  The
+        # min-scans guarantee label[p] <= p, so pointer doubling strictly
+        # contracts every chain and self-roots all labels in at most
+        # ceil(log2 N) squarings; a fixed number of passes does NOT
+        # suffice (scan sweeps can leave chains longer than 4), and the
+        # densify stages' `is_rep = (flat == arange)` representative test
+        # silently conflates components on non-self-rooted labels.
         flat = label.reshape(-1)
-        flat = flat[flat]
-        flat = flat[flat]
+        n_jump = max(1, int(np.ceil(np.log2(max(N, 2)))))
+
+        def jcond(s):
+            p, changed, it = s
+            return changed & (it < n_jump)
+
+        def jbody(s):
+            p, _, it = s
+            p2 = p[p]
+            return (p2, jnp.any(p2 != p), it + 1)
+
+        flat, _, _ = jax.lax.while_loop(jcond, jbody,
+                                        (flat, jnp.asarray(True), 0))
         label = flat.reshape(H, W)
     return label
 
@@ -647,16 +664,35 @@ def _stable_cumsum(x, block=1024):
 
 
 def _pair_phase(comp2d, cls_lp, size, frozen, log_odds, offsets, M2,
-                pair_slots, pair_rounds, den_mode, omf, bias, packed):
+                pair_slots, pair_rounds, den_mode, omf, bias, packed,
+                edge_slots=None):
     """Pair dedup + aggregated Boruvka rounds (decode_hierarchical stages
     3-4; docs/decoder.md).
 
     comp2d: (H, W) int32 dense ids in [0, M2); cls_lp (M2, C); size (M2,);
     frozen (M2,) bool.  `packed` (static) selects int32 pair-key packing
     (requires (M2+1)^2-1 <= 2^31-1) or (lo, hi) 2-key sorts for larger
-    component spaces (the exact-oracle path).  Returns
-    (total_map (M2,), cls_lp, size) with total_map mapping input dense ids
-    to surviving roots."""
+    component spaces (the exact-oracle path).
+
+    edge_slots (static): stream-compaction capacity.  After flood +
+    absorption only a few percent of the H*W*O (pixel, offset) edges are
+    external (~216k of 5.2M at 512x1024 on trained outputs), but the
+    dedup previously ran BOTH its big sorts at full edge count.  The key
+    sort itself is the compaction: internal edges carry the sentinel key,
+    which sorts to the tail, so slicing the sorted arrays to K =
+    edge_slots keeps every external edge (when n_ext <= K) and the
+    running sum + the run-compaction sort shrink from E to K.  (A top_k
+    pre-compaction was measured SLOWER than the sort it saved: 29 ms at
+    E=5.2M/K=512k vs the 15 ms 2-array sort — docs/benchmarks.md.)
+    Edges beyond K are dropped (largest pair keys first; the affected
+    components stop merging but are still emitted); the caller sees the
+    count in `stats` and can fall back to an exact mode.
+
+    Returns (total_map (M2,), cls_lp, size, stats) with total_map mapping
+    input dense ids to surviving roots and stats a dict of int32 scalars:
+    n_ext (external edges), edges_dropped (beyond edge_slots),
+    pairs_total (unique component pairs among kept edges), pairs_dropped
+    (beyond pair_slots)."""
     f32 = jnp.float32
     P = M2 + 1
     SENT = P * P - 1 if packed else None  # > any real key; int32-safe
@@ -676,14 +712,28 @@ def _pair_phase(comp2d, cls_lp, size, frozen, log_odds, offsets, M2,
         omls.append(log_odds[:, :, oi].reshape(-1))
     oml = jnp.concatenate(omls)
     if packed:
-        key_s, oml_s = jax.lax.sort(
-            (jnp.concatenate(keys), oml), num_keys=1)
+        key = jnp.concatenate(keys)
+        ext_mask = key < SENT
+    else:
+        lo_all = jnp.concatenate(los)
+        hi_all = jnp.concatenate(his)
+        ext_mask = lo_all < M2
+    E_all = int(oml.shape[0])
+    K = E_all if edge_slots is None else min(int(edge_slots), E_all)
+    n_ext = jnp.sum(ext_mask.astype(jnp.int32))
+    edges_dropped = jnp.maximum(n_ext - K, 0)
+    # the key sort doubles as the stream compaction: sentinel (internal)
+    # keys sort to the tail, so [:K] keeps all external edges when
+    # n_ext <= K and every downstream op runs at K instead of E
+    if packed:
+        key_s, oml_s = jax.lax.sort((key, oml), num_keys=1)
+        key_s, oml_s = key_s[:K], oml_s[:K]
         dead_s = key_s >= SENT
         first = jnp.concatenate([jnp.ones((1,), bool),
                                  key_s[1:] != key_s[:-1]])
     else:
-        lo_s, hi_s, oml_s = jax.lax.sort(
-            (jnp.concatenate(los), jnp.concatenate(his), oml), num_keys=2)
+        lo_s, hi_s, oml_s = jax.lax.sort((lo_all, hi_all, oml), num_keys=2)
+        lo_s, hi_s, oml_s = lo_s[:K], hi_s[:K], oml_s[:K]
         dead_s = lo_s >= M2
         first = jnp.concatenate([
             jnp.ones((1,), bool),
@@ -720,6 +770,14 @@ def _pair_phase(comp2d, cls_lp, size, frozen, log_odds, offsets, M2,
     pair_oml = jnp.where(
         valid, ctot - jnp.concatenate([jnp.zeros((1,), f32), ctot[:-1]]),
         0.0)
+    pairs_total = jnp.sum((first & ~dead_s).astype(jnp.int32))
+    stats = {
+        "n_ext": n_ext,
+        "edges_dropped": edges_dropped,
+        "pairs_total": pairs_total,
+        "pairs_dropped": jnp.maximum(
+            pairs_total - (pair_slots - 1), 0).astype(jnp.int32),
+    }
 
     # ---- aggregated Boruvka pair rounds ----
     ids2 = jnp.arange(M2, dtype=jnp.int32)
@@ -805,7 +863,7 @@ def _pair_phase(comp2d, cls_lp, size, frozen, log_odds, offsets, M2,
              jnp.asarray(False), jnp.asarray(0))
     (_, _, _, total_map, cls_lp, size, _, _) = jax.lax.while_loop(
         lambda s: (~s[-2]) & (s[-1] < pair_rounds), pair_round, state)
-    return total_map, cls_lp, size
+    return total_map, cls_lp, size, stats
 
 
 @functools.partial(
@@ -815,7 +873,8 @@ def _pair_phase(comp2d, cls_lp, size, frozen, log_odds, offsets, M2,
                      "merge_logprob_bias", "ccl_sweeps", "ccl_margin",
                      "absorb_thetas", "absorb_size_cap", "max_components",
                      "pair_components", "pair_slots", "pair_rounds",
-                     "do_prune", "prune_threshold"))
+                     "edge_slots", "do_prune", "prune_threshold",
+                     "return_stats"))
 def decode_hierarchical(class_probs, sameness_probs, num_classes, offsets,
                         same_different_bias=0.0, object_merge_factor=1.0,
                         merge_logprob_bias=0.0, den_mode="sum",
@@ -824,7 +883,9 @@ def decode_hierarchical(class_probs, sameness_probs, num_classes, offsets,
                         absorb_size_cap=64,
                         max_components=65536, pair_components=8192,
                         pair_slots=65536, pair_rounds=64,
-                        do_prune=False, prune_threshold=200.0):
+                        edge_slots=524288,
+                        do_prune=False, prune_threshold=200.0,
+                        return_stats=False):
     """Single-dispatch hierarchical decode tuned for serving throughput.
 
     Same objective as `decode_on_device`, structured so every stage's cost
@@ -842,18 +903,26 @@ def decode_hierarchical(class_probs, sameness_probs, num_classes, offsets,
          components — where single-edge evidence can contradict the
          aggregated pair evidence (the fuzzy-seam failure mode) — are
          deliberately excluded and left to stage 4.
-      3. pair dedup: ONE packed int32 sort over all (pixel, offset) edges
-         collapses parallel edges into unique component pairs with summed
-         object-merge logprob (~30x fewer entries on trained outputs).
+      3. pair dedup: stream-compact the external edges (top_k over the
+         negated scan index, `edge_slots` capacity), then ONE packed int32
+         sort over the compacted edges collapses parallel edges into
+         unique component pairs with summed object-merge logprob (~30x
+         fewer unique pairs than external edges on trained outputs).
       4. aggregated Boruvka pair rounds on the compact unique-pair arrays —
          the exact merge priority ((Σoml·f + cdl)/den + bias, reference
          `segment.cc:145-150`) drives hook/contract to the same "no
          non-negative-priority merge remains" fixed point as the greedy.
 
-    Capacity overflow (components beyond `max_components`/
-    `pair_components`, pairs beyond `pair_slots`) freezes the overflowed
-    entities: they never merge and fold into background at output
-    (under-segmentation beats garbage instances).
+    Capacity overflow: COMPONENTS beyond `max_components`/
+    `pair_components` freeze — they never merge and fold into background
+    at output (under-segmentation beats garbage instances).  EDGES beyond
+    `edge_slots` and unique PAIRS beyond `pair_slots` are dropped: the
+    affected components stop merging but are still emitted (possibly
+    fragmented).  Every overflow is counted; pass `return_stats=True` to
+    get a dict of int32 scalars (n_ext, edges_dropped, pairs_total,
+    pairs_dropped, n_frozen) as a 4th output so serving can detect an
+    over-budget scene and fall back to the exact mode
+    (`run_segmentation_device`).
 
     The DEFAULTS are the certified serving configuration: on trained
     PSPFPNet outputs over the synthetic-street val set it reaches mask
@@ -1002,13 +1071,18 @@ def decode_hierarchical(class_probs, sameness_probs, num_classes, offsets,
         ((frozen | over2) & live).astype(jnp.int32), map2,
         num_segments=M2) > 0
 
-    total_map, cls_lp, size = _pair_phase(
+    total_map, cls_lp, size, stats = _pair_phase(
         comp2d, cls_lp, size, frozen, log_odds, offsets, M2, pair_slots,
-        pair_rounds, den_mode, omf, bias, packed=True)
+        pair_rounds, den_mode, omf, bias, packed=True,
+        edge_slots=edge_slots)
 
     comp = total_map[comp2d.reshape(-1)].reshape(H, W)
-    return _finalize_components(comp, cls_lp, size, frozen, M2, do_prune,
-                                prune_threshold)
+    out = _finalize_components(comp, cls_lp, size, frozen, M2, do_prune,
+                               prune_threshold)
+    if return_stats:
+        stats = dict(stats, n_frozen=jnp.sum(frozen.astype(jnp.int32)))
+        return out + (stats,)
+    return out
 
 
 
@@ -1039,13 +1113,14 @@ def _count_unique_pairs(label2d, offsets):
     static_argnames=("num_classes", "offsets", "den_mode",
                      "same_different_bias", "object_merge_factor",
                      "merge_logprob_bias", "max_components", "pair_slots",
-                     "pair_rounds", "do_prune", "prune_threshold"))
+                     "pair_rounds", "edge_slots", "do_prune",
+                     "prune_threshold"))
 def _pair_exact_finish(class_probs, sameness_probs, num_classes, offsets,
                        initial_labels, same_different_bias=0.0,
                        object_merge_factor=1.0, merge_logprob_bias=0.0,
                        den_mode="sum", max_components=65536,
-                       pair_slots=262144, pair_rounds=64, do_prune=False,
-                       prune_threshold=200.0):
+                       pair_slots=262144, pair_rounds=64, edge_slots=None,
+                       do_prune=False, prune_threshold=200.0):
     """Exact finisher for `run_segmentation_device`: pure aggregated
     Boruvka pair rounds from `initial_labels` (self-rooted root pixel
     ids, e.g. a `boruvka_rolls_round` result).
@@ -1081,9 +1156,10 @@ def _pair_exact_finish(class_probs, sameness_probs, num_classes, offsets,
         jnp.any(raw >= M2))
 
     packed = (M2 + 1) * (M2 + 1) - 1 <= 2 ** 31 - 1
-    total_map, cls_lp, size = _pair_phase(
+    total_map, cls_lp, size, _ = _pair_phase(
         comp2d, cls_lp, size, frozen, log_odds, offsets, M2, pair_slots,
-        pair_rounds, den_mode, omf, bias, packed=packed)
+        pair_rounds, den_mode, omf, bias, packed=packed,
+        edge_slots=edge_slots)
 
     comp = total_map[comp2d.reshape(-1)].reshape(H, W)
     return _finalize_components(comp, cls_lp, size, frozen, M2, do_prune,
@@ -1171,7 +1247,7 @@ def run_segmentation_device(class_probs, sameness_probs, num_classes,
                             den_mode="sum", do_prune=False,
                             prune_threshold=200.0, max_rounds=48,
                             max_components=None, max_edges=None,
-                            mode="exact"):
+                            mode="exact", return_stats=False):
     """Host-friendly wrapper with the csegment.run_segmentation signature:
     accepts channel-first (C, H, W)/(O, H, W) numpy arrays and returns
     (mask, object_class list).
@@ -1183,7 +1259,14 @@ def run_segmentation_device(class_probs, sameness_probs, num_classes,
     and each stage's sorts shrink with the survivor count.
     mode='hier' = the certified single-dispatch serving configuration
     (`decode_hierarchical` defaults).  Passing max_components/max_edges
-    selects the single-pass capped (throughput) mode instead."""
+    selects the single-pass capped (throughput) mode instead.
+
+    return_stats=True additionally returns a dict of capacity telemetry
+    (ints): in 'hier' mode the decode's own counters (n_ext,
+    edges_dropped, pairs_total, pairs_dropped, n_frozen — all zero drops
+    on an in-budget scene; a serving layer should fall back to
+    mode='exact' when any *_dropped or n_frozen is positive); in 'exact'
+    mode the measured counts (all drops structurally zero)."""
     cp = np.moveaxis(np.asarray(class_probs), 0, -1)
     sp = np.moveaxis(np.asarray(sameness_probs), 0, -1)
     cp, sp = jnp.asarray(cp), jnp.asarray(sp)
@@ -1191,10 +1274,11 @@ def run_segmentation_device(class_probs, sameness_probs, num_classes,
     hyper = dict(same_different_bias=same_different_bias,
                  object_merge_factor=object_merge_factor,
                  merge_logprob_bias=merge_logprob_bias, den_mode=den_mode)
+    stats = None
     if mode == "hier":
-        label, root_class, is_inst = decode_hierarchical(
+        label, root_class, is_inst, stats = decode_hierarchical(
             cp, sp, num_classes, offsets, do_prune=do_prune,
-            prune_threshold=prune_threshold, **hyper)
+            prune_threshold=prune_threshold, return_stats=True, **hyper)
     elif max_components is not None or max_edges is not None:
         label, root_class, is_inst = decode_on_device(
             cp, sp, num_classes, offsets,
@@ -1213,9 +1297,12 @@ def run_segmentation_device(class_probs, sameness_probs, num_classes,
             cp, sp, num_classes, offsets, initial_labels=label,
             max_components=_bucket(int(n_comp), 4096),
             pair_slots=_bucket(n_pairs + 2, 16384),
+            edge_slots=_bucket(int(n_ext) + 1, 16384),
             pair_rounds=max_rounds, do_prune=do_prune,
             prune_threshold=prune_threshold, **hyper)
         label = comp
+        stats = {"n_ext": int(n_ext), "edges_dropped": 0,
+                 "pairs_total": n_pairs, "pairs_dropped": 0, "n_frozen": 0}
     mask, inst_class = relabel_mask(label, root_class, is_inst)
     mask = np.asarray(mask)
     inst_class = np.asarray(inst_class)
@@ -1224,4 +1311,9 @@ def run_segmentation_device(class_probs, sameness_probs, num_classes,
         if v == -1:
             break
         classes.append(int(v))
+    if return_stats:
+        if stats is None:
+            stats = {}
+        stats = {k: int(v) for k, v in stats.items()}
+        return mask, classes, stats
     return mask, classes

@@ -152,6 +152,19 @@ def model_mapping(arch, layer=None):
         if scale <= 8:
             m.append(("score_8s", "score_8s", "conv"))
         return m
+    if arch == "pspnet":
+        # the reference's PSPNet torch checkpoints come from its caffemodel
+        # converter (`convert_caffe_to_pytorch.py:22-34`) and use caffe-
+        # derived module names (`pspnet_caffe.py:238-338`), not `resnet.*`;
+        # the supported import route is the original caffemodel via
+        # `caffe_import.caffemodel_to_npz` + `apply_caffe_weights`
+        # (`--caffe-weights` on the inference CLIs).
+        raise ValueError(
+            "arch 'pspnet': full torch checkpoints are not mapped; import "
+            "the caffemodel directly (utils.caffe_import.caffemodel_to_npz "
+            "+ weight_import.apply_caffe_weights, or --caffe-weights on "
+            "class_infer.py). Plain ResNet-101 backbone state dicts load "
+            "via backbone_mapping.")
     raise ValueError("no torch mapping for arch '{}'".format(arch))
 
 

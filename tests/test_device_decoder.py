@@ -161,6 +161,34 @@ def test_device_decode_batched_vmap():
                                     inst, classes)
 
 
+def test_flood_fill_labels_are_self_rooted():
+    """The densify stages test representativeness with a compare
+    (`flat == arange`), which requires _flood_fill to return labels at a
+    pointer fixed point (flat[flat] == flat).  A fixed number of
+    pointer-jump passes does NOT reach it (advisor round 2, high): on
+    random scenes with margin 0 the scan sweeps leave chains longer than
+    4, and non-self-rooted labels silently conflate components."""
+    from mergenet_tpu.decoder.device import _flood_fill, _log_domain
+
+    rng = np.random.RandomState(0)
+    offsets = ((1, 0), (0, 1), (-2, -1), (1, -2), (3, 2))
+    for seed in range(20):
+        rng = np.random.RandomState(seed)
+        H, W = 48, 64
+        cp = rng.rand(H, W, NUM_CLASSES).astype(np.float32)
+        sp = rng.rand(H, W, len(offsets)).astype(np.float32)
+        cls_lp_pix, log_odds = _log_domain(jnp.asarray(cp),
+                                           jnp.asarray(sp), 0.0)
+        argmax_pix = jnp.argmax(cls_lp_pix, axis=-1)
+        for sweeps in (1, 2, 3):
+            for margin in (0.0, 2.0):
+                label = _flood_fill(argmax_pix, log_odds, offsets, "sum",
+                                    jnp.float32(1.0), jnp.float32(0.03),
+                                    sweeps, margin)
+                flat = np.asarray(label).reshape(-1)
+                assert (flat[flat] == flat).all(), (seed, sweeps, margin)
+
+
 def test_pair_phase_packed_and_twokey_agree():
     """_pair_phase's int32-packed and 2-key sort variants are
     interchangeable (the exact oracle uses 2-key when the component space
@@ -186,11 +214,61 @@ def test_pair_phase_packed_and_twokey_agree():
 
     outs = {}
     for packed in (True, False):
-        tm, cl, sz = _pair_phase(
+        tm, cl, sz, st = _pair_phase(
             comp2d, cls_lp, size, frozen, log_odds, offsets, M2,
             pair_slots=4096, pair_rounds=32, den_mode="sum",
             omf=jnp.float32(1.0), bias=jnp.float32(0.03), packed=packed)
         outs[packed] = (np.asarray(tm), np.asarray(cl), np.asarray(sz))
+        assert int(st["edges_dropped"]) == 0
+        assert int(st["pairs_dropped"]) == 0
     np.testing.assert_array_equal(outs[True][0], outs[False][0])
     np.testing.assert_allclose(outs[True][1], outs[False][1], rtol=1e-5)
     np.testing.assert_array_equal(outs[True][2], outs[False][2])
+
+
+def test_pair_phase_edge_compaction_equivalent():
+    """Stream compaction (edge_slots < E) must be a pure optimization:
+    with capacity >= the external-edge count the result is identical to
+    the uncompacted path, and the telemetry reports zero drops."""
+    from mergenet_tpu.decoder.device import _pair_phase, _log_domain
+
+    rng = np.random.RandomState(11)
+    H, W, C, M2 = 32, 64, 4, 64
+    offsets = ((0, 1), (1, 0), (2, 3))
+    comp2d = jnp.asarray(rng.randint(0, M2, (H, W)).astype(np.int32))
+    cp = rng.rand(H, W, C).astype(np.float32)
+    sp = rng.rand(H, W, len(offsets)).astype(np.float32)
+    cls_lp_pix, log_odds = _log_domain(jnp.asarray(cp), jnp.asarray(sp),
+                                       0.0)
+    comp_flat = np.asarray(comp2d).reshape(-1)
+    cls_lp = jnp.asarray(np.stack([
+        np.log(np.clip(cp, 1.2e-7, 1)).reshape(-1, C)[comp_flat == m].sum(0)
+        for m in range(M2)]))
+    size = jnp.asarray(np.bincount(comp_flat, minlength=M2)
+                       .astype(np.int32))
+    frozen = jnp.zeros((M2,), bool)
+
+    outs = {}
+    for edge_slots in (None, H * W * len(offsets)):  # uncompacted / full-K
+        tm, cl, sz, st = _pair_phase(
+            comp2d, cls_lp, size, frozen, log_odds, offsets, M2,
+            pair_slots=4096, pair_rounds=32, den_mode="sum",
+            omf=jnp.float32(1.0), bias=jnp.float32(0.03), packed=True,
+            edge_slots=edge_slots)
+        outs[edge_slots] = (np.asarray(tm), np.asarray(cl), np.asarray(sz),
+                            {k: int(v) for k, v in st.items()})
+    a, b = outs.values()
+    np.testing.assert_array_equal(a[0], b[0])
+    np.testing.assert_allclose(a[1], b[1], rtol=1e-5)
+    assert a[3]["edges_dropped"] == 0 and b[3]["edges_dropped"] == 0
+    assert a[3]["n_ext"] == b[3]["n_ext"] > 0
+
+    # a real compaction (K < E but >= n_ext) must also be identical
+    n_ext = a[3]["n_ext"]
+    tm, cl, sz, st = _pair_phase(
+        comp2d, cls_lp, size, frozen, log_odds, offsets, M2,
+        pair_slots=4096, pair_rounds=32, den_mode="sum",
+        omf=jnp.float32(1.0), bias=jnp.float32(0.03), packed=True,
+        edge_slots=n_ext)
+    np.testing.assert_array_equal(np.asarray(tm), a[0])
+    assert int(st["edges_dropped"]) == 0
