@@ -146,10 +146,13 @@ def main():
 
     @jax.jit
     def net(v, x):
-        logits = model.apply(v, x.astype(jnp.bfloat16), train=False)
-        probs = jax.nn.sigmoid(logits.astype(jnp.float32))
-        small = jax.image.resize(
-            probs, (probs.shape[0], DH, DW, probs.shape[-1]), "bilinear")
+        # logits emitted directly at the decode size (output_size skips
+        # the full-res 1024x2048x19 round trip; the decode consumes probs
+        # at 512x1024 — reference segment.py:93,116-123 resizes the same
+        # way before decoding)
+        logits = model.apply(v, x.astype(jnp.bfloat16), train=False,
+                             output_size=(DH, DW))
+        small = jax.nn.sigmoid(logits.astype(jnp.float32))
         return jnp.sum(small)  # scalar sync point
 
     @jax.jit

@@ -11,8 +11,13 @@
 //     a merge moves O(1) pixel state and the output mask is one find() pass.
 //   * objects live in flat arrays indexed by union-find root (size, class
 //     logprobs, best class) — no per-object heap allocations.
-//   * adjacency records live in one arena vector; each live root keeps an
-//     unordered_map<neighbor_root, record_index>.
+//   * adjacency is IMPLICIT for the initial offset grid: the record for
+//     pixel pair (p, p+offset_o) lives at the fixed slot o*N + p, so init
+//     performs ZERO hash-map operations (the per-pixel unordered_map design
+//     cost ~10M emplaces at 512x1024 and dominated the old decode time).
+//     Only records REKEYED by merges enter a single global open-addressing
+//     (pair -> record) table; each root keeps a plain vector of such mapped
+//     neighbors.  Stale/duplicate list entries are skipped via the map.
 //   * the priority queue stores (priority, record_index); staleness is
 //     detected by comparing the popped priority to the record's current
 //     priority (exact float equality, as in the reference).
@@ -57,6 +62,155 @@ struct Record {
   int32_t a, b;  // live roots (a < b), or -1 when dead
 };
 
+// Open-addressing hash map from a packed (a < b) root pair to a record
+// index.  Linear probing with backward-shift deletion (no tombstones).
+class PairMap {
+ public:
+  explicit PairMap(size_t initial_pow2 = 1 << 16) { rehash(initial_pow2); }
+
+  static inline uint64_t pack(int32_t a, int32_t b) {
+    return (static_cast<uint64_t>(static_cast<uint32_t>(a)) << 32) |
+           static_cast<uint32_t>(b);
+  }
+
+  int32_t find(uint64_t key) const {
+    size_t i = slot(key);
+    while (keys_[i] != kEmpty) {
+      if (keys_[i] == key) return vals_[i];
+      i = (i + 1) & mask_;
+    }
+    return -1;
+  }
+
+  void insert(uint64_t key, int32_t val) {
+    if ((size_ + 1) * 10 >= (mask_ + 1) * 6) rehash((mask_ + 1) * 2);
+    size_t i = slot(key);
+    while (keys_[i] != kEmpty) {
+      if (keys_[i] == key) { vals_[i] = val; return; }
+      i = (i + 1) & mask_;
+    }
+    keys_[i] = key;
+    vals_[i] = val;
+    ++size_;
+  }
+
+  void erase(uint64_t key) {
+    size_t i = slot(key);
+    while (keys_[i] != kEmpty) {
+      if (keys_[i] == key) break;
+      i = (i + 1) & mask_;
+    }
+    if (keys_[i] == kEmpty) return;
+    // backward-shift deletion keeps probe chains intact without tombstones
+    size_t hole = i;
+    size_t j = (i + 1) & mask_;
+    while (keys_[j] != kEmpty) {
+      size_t home = slot(keys_[j]);
+      // can keys_[j] legally move into the hole?  yes iff the hole lies
+      // cyclically within [home, j]
+      bool movable = ((j - home) & mask_) >= ((j - hole) & mask_);
+      if (movable) {
+        keys_[hole] = keys_[j];
+        vals_[hole] = vals_[j];
+        hole = j;
+      }
+      j = (j + 1) & mask_;
+    }
+    keys_[hole] = kEmpty;
+    --size_;
+  }
+
+ private:
+  static constexpr uint64_t kEmpty = ~uint64_t{0};
+
+  inline size_t slot(uint64_t k) const {
+    // splitmix64 finalizer
+    k ^= k >> 30;
+    k *= 0xbf58476d1ce4e5b9ULL;
+    k ^= k >> 27;
+    k *= 0x94d049bb133111ebULL;
+    k ^= k >> 31;
+    return static_cast<size_t>(k) & mask_;
+  }
+
+  void rehash(size_t cap) {
+    std::vector<uint64_t> old_keys = std::move(keys_);
+    std::vector<int32_t> old_vals = std::move(vals_);
+    keys_.assign(cap, kEmpty);
+    vals_.assign(cap, -1);
+    mask_ = cap - 1;
+    size_ = 0;
+    for (size_t i = 0; i < old_keys.size(); ++i)
+      if (old_keys[i] != kEmpty) insert(old_keys[i], old_vals[i]);
+  }
+
+  std::vector<uint64_t> keys_;
+  std::vector<int32_t> vals_;
+  size_t mask_ = 0;
+  size_t size_ = 0;
+};
+
+
+// 4-ary max-heap of (priority, record) — fewer sift levels and better
+// cache behavior than the binary std::priority_queue under this
+// workload's push-heavy churn (~40% of decode time in heap sifts).
+class MergeQueue {
+ public:
+  using Entry = std::pair<double, int32_t>;
+
+  void build(std::vector<Entry>&& v) {
+    h_ = std::move(v);
+    if (h_.size() > 1)
+      for (int64_t i = (static_cast<int64_t>(h_.size()) - 2) / 4; i >= 0;
+           --i)
+        sift_down(static_cast<size_t>(i));
+  }
+
+  bool empty() const { return h_.empty(); }
+  const Entry& top() const { return h_.front(); }
+
+  void push(Entry e) {
+    h_.push_back(e);
+    size_t i = h_.size() - 1;
+    while (i > 0) {
+      size_t parent = (i - 1) / 4;
+      if (h_[parent] < h_[i]) {
+        std::swap(h_[parent], h_[i]);
+        i = parent;
+      } else {
+        break;
+      }
+    }
+  }
+
+  void pop() {
+    h_.front() = h_.back();
+    h_.pop_back();
+    if (!h_.empty()) sift_down(0);
+  }
+
+ private:
+  void sift_down(size_t i) {
+    const size_t n = h_.size();
+    for (;;) {
+      const size_t c0 = 4 * i + 1;
+      if (c0 >= n) return;
+      size_t best = c0;
+      const size_t c_end = std::min(c0 + 4, n);
+      for (size_t c = c0 + 1; c < c_end; ++c)
+        if (h_[best] < h_[c]) best = c;
+      if (h_[i] < h_[best]) {
+        std::swap(h_[i], h_[best]);
+        i = best;
+      } else {
+        return;
+      }
+    }
+  }
+
+  std::vector<Entry> h_;
+};
+
 class Segmenter {
  public:
   Segmenter(const float* class_probs, int num_classes,
@@ -65,6 +219,13 @@ class Segmenter {
       : C_(num_classes), O_(num_offsets), H_(height), W_(width),
         N_(static_cast<int64_t>(height) * width), opts_(opts) {
     offsets_.assign(offsets, offsets + 2 * num_offsets);
+    // |pixel-id delta| of each offset; unique because offsets are distinct
+    // and never negated pairs (CoreConfig validation)
+    for (int o = 0; o < O_; ++o) {
+      int64_t d = static_cast<int64_t>(offsets_[2 * o]) * W_ +
+                  offsets_[2 * o + 1];
+      deltas_.push_back(d);
+    }
 
     const double eps = 1.1920929e-07;  // float32 machine epsilon
     // per-pixel class logprobs, (N, C) layout for cache-friendly row access
@@ -75,26 +236,6 @@ class Segmenter {
         double v = src[p];
         v = std::min(std::max(v, eps), 1.0 - eps);
         cls_lp_[p * C_ + c] = std::log(v);
-      }
-    }
-    // per-(offset,pixel) log-same / log-diff
-    log_same_.resize(static_cast<int64_t>(O_) * N_);
-    log_diff_.resize(static_cast<int64_t>(O_) * N_);
-    for (int o = 0; o < O_; ++o) {
-      const float* src = sameness_probs + static_cast<int64_t>(o) * N_;
-      double* ls = log_same_.data() + static_cast<int64_t>(o) * N_;
-      double* ld = log_diff_.data() + static_cast<int64_t>(o) * N_;
-      const double sdb = opts_.same_different_bias;
-      for (int64_t p = 0; p < N_; ++p) {
-        double v = src[p];
-        v = std::min(std::max(v, eps), 1.0 - eps);
-        if (sdb != 0.0) {
-          double logit = std::log(v) - std::log1p(-v) + sdb;
-          v = 1.0 / (1.0 + std::exp(-logit));
-          v = std::min(std::max(v, eps), 1.0 - eps);
-        }
-        ls[p] = std::log(v);
-        ld[p] = std::log1p(-v);
       }
     }
 
@@ -112,10 +253,11 @@ class Segmenter {
       obj_class_[p] = best;
       obj_best_[p] = row[best];
     }
-    adj_.resize(N_);
+    mapped_nbrs_.resize(N_);
+    obj_sameness_.assign(N_, 0.0);
     n_alive_ = N_;
 
-    init_records();
+    init_records(sameness_probs, eps);
   }
 
   void run() {
@@ -161,8 +303,7 @@ class Segmenter {
     for (int64_t r = 0; r < N_; ++r) {
       if (parent_[r] != r) continue;
       tot_class += obj_best_[r];
-      tot_same += obj_sameness_.count(static_cast<int32_t>(r))
-                      ? obj_sameness_[static_cast<int32_t>(r)] : 0.0;
+      tot_same += obj_sameness_[r];
     }
     for (const Record& rec : records_)
       if (rec.a >= 0) tot_diff += rec.diff;
@@ -170,39 +311,54 @@ class Segmenter {
   }
 
  private:
-  void init_records() {
-    // Each in-bounds (pixel, offset) pair is one initial record: offsets are
-    // unique and never negated pairs, so each unordered pixel pair appears
-    // at most once.
-    records_.reserve(static_cast<size_t>(N_) * O_);
+  void init_records(const float* sameness_probs, double eps) {
+    // Fixed-slot layout: the record for (pixel p, offset o) lives at
+    // o*N + p; out-of-bounds slots stay dead (a = -1).  Offsets are unique
+    // and never negated pairs, so each unordered pixel pair appears at
+    // most one slot.  No adjacency structure is built: a singleton's
+    // neighbors are enumerated from the offset grid on demand.
+    Record dead;
+    dead.oml = dead.same = dead.diff = dead.pri = 0.0;
+    dead.a = dead.b = -1;
+    records_.assign(static_cast<size_t>(N_) * O_, dead);
+
+    std::vector<std::pair<double, int32_t>> heap_init;
+    heap_init.reserve(static_cast<size_t>(N_) * O_ / 2);
+    const double sdb = opts_.same_different_bias;
     for (int o = 0; o < O_; ++o) {
       const int di = offsets_[2 * o], dj = offsets_[2 * o + 1];
-      const double* ls = log_same_.data() + static_cast<int64_t>(o) * N_;
-      const double* ld = log_diff_.data() + static_cast<int64_t>(o) * N_;
+      const float* src = sameness_probs + static_cast<int64_t>(o) * N_;
+      Record* slab = records_.data() + static_cast<int64_t>(o) * N_;
       for (int row = 0; row < H_; ++row) {
         const int r2 = row + di;
         if (r2 < 0 || r2 >= H_) continue;
-        for (int col = 0; col < W_; ++col) {
-          const int c2 = col + dj;
-          if (c2 < 0 || c2 >= W_) continue;
+        const int c_lo = std::max(0, -dj), c_hi = std::min(W_, W_ - dj);
+        for (int col = c_lo; col < c_hi; ++col) {
           const int32_t p = row * W_ + col;
-          const int32_t q = r2 * W_ + c2;
-          Record rec;
-          rec.same = ls[p];
-          rec.diff = ld[p];
+          const int32_t q = r2 * W_ + (col + dj);
+          double v = src[p];
+          v = std::min(std::max(v, eps), 1.0 - eps);
+          if (sdb != 0.0) {
+            double logit = std::log(v) - std::log1p(-v) + sdb;
+            v = 1.0 / (1.0 + std::exp(-logit));
+            v = std::min(std::max(v, eps), 1.0 - eps);
+          }
+          Record& rec = slab[p];
+          rec.same = std::log(v);
+          rec.diff = std::log1p(-v);
           rec.oml = rec.same - rec.diff;
           rec.a = std::min(p, q);
           rec.b = std::max(p, q);
           int merged_class;
           rec.pri = compute_priority(rec, &merged_class);
-          int32_t ri = static_cast<int32_t>(records_.size());
-          records_.push_back(rec);
-          adj_[rec.a].emplace(rec.b, ri);
-          adj_[rec.b].emplace(rec.a, ri);
-          if (rec.pri >= 0.0) queue_.push({rec.pri, ri});
+          if (rec.pri >= 0.0)
+            heap_init.push_back(
+                {rec.pri, static_cast<int32_t>(o * N_ + p)});
         }
       }
     }
+    // O(E) heapify instead of E pushes
+    queue_.build(std::move(heap_init));
   }
 
   inline int32_t find(int32_t x) {
@@ -214,6 +370,26 @@ class Segmenter {
       x = next;
     }
     return root;
+  }
+
+  // Record index currently keyed to live pair (a < b), or -1.  Checks the
+  // implicit offset-grid slot first (valid whether the slot still holds
+  // its original raw pair or was rekeyed to exactly this pair), then the
+  // global map of rekeyed records.
+  inline int32_t find_record(int32_t a, int32_t b) const {
+    const int64_t d = static_cast<int64_t>(b) - a;
+    for (int o = 0; o < O_; ++o) {
+      if (deltas_[o] == d || deltas_[o] == -d) {
+        const int32_t p = deltas_[o] > 0 ? a : b;
+        const int32_t ri = static_cast<int32_t>(o * N_ + p);
+        const Record& rec = records_[ri];
+        if (rec.a == a && rec.b == b) return ri;
+        break;
+      }
+    }
+    const int32_t ri = map_.find(PairMap::pack(a, b));
+    if (ri >= 0 && (records_[ri].a != a || records_[ri].b != b)) return -1;
+    return ri;
   }
 
   double compute_priority(const Record& r, int* merged_class) {
@@ -242,14 +418,58 @@ class Segmenter {
     return (r.oml * f + cdl + bias) / (n1 * n2);
   }
 
+  // Enumerate b's live neighbor records into nbr_scratch_ as (c, ri).
+  void collect_neighbors(int32_t b) {
+    nbr_scratch_.clear();
+    // implicit offset-grid records still keyed to a raw pair containing b
+    const int row = b / W_, col = b % W_;
+    for (int o = 0; o < O_; ++o) {
+      const int di = offsets_[2 * o], dj = offsets_[2 * o + 1];
+      // forward: record (b, b+delta) at slot o*N + b
+      int r2 = row + di, c2 = col + dj;
+      if (r2 >= 0 && r2 < H_ && c2 >= 0 && c2 < W_) {
+        const int32_t q = r2 * W_ + c2;
+        const Record& rec = records_[o * N_ + b];
+        if (rec.a == std::min(b, q) && rec.b == std::max(b, q)) {
+          // the slot may hold a REKEYED record whose new pair happens to
+          // equal (b, q) — then a map entry exists too; erase it so the
+          // list pass cannot collect the same record twice
+          map_.erase(PairMap::pack(rec.a, rec.b));
+          nbr_scratch_.push_back({q, static_cast<int32_t>(o * N_ + b)});
+        }
+      }
+      // backward: record (b-delta, b) at slot o*N + (b-delta)
+      r2 = row - di;
+      c2 = col - dj;
+      if (r2 >= 0 && r2 < H_ && c2 >= 0 && c2 < W_) {
+        const int32_t p = r2 * W_ + c2;
+        const Record& rec = records_[o * N_ + p];
+        if (rec.a == std::min(b, p) && rec.b == std::max(b, p)) {
+          map_.erase(PairMap::pack(rec.a, rec.b));
+          nbr_scratch_.push_back({p, static_cast<int32_t>(o * N_ + p)});
+        }
+      }
+    }
+    // rekeyed records (stale/duplicate list entries skip via map lookup;
+    // erase as we collect so duplicates cannot process twice)
+    for (int32_t c : mapped_nbrs_[b]) {
+      const uint64_t key = PairMap::pack(std::min(b, c), std::max(b, c));
+      const int32_t ri = map_.find(key);
+      if (ri < 0 || records_[ri].a != std::min(b, c) ||
+          records_[ri].b != std::max(b, c))
+        continue;
+      map_.erase(key);
+      nbr_scratch_.push_back({c, ri});
+    }
+  }
+
   void merge(int32_t ri, int merged_class) {
     Record rec = records_[ri];
     int32_t a = rec.a, b = rec.b;
     if (obj_size_[b] > obj_size_[a]) std::swap(a, b);  // b dies
 
     records_[ri].a = records_[ri].b = -1;  // kill the merging record
-    adj_[a].erase(b);
-    adj_[b].erase(a);
+    map_.erase(PairMap::pack(rec.a, rec.b));  // no-op if it was implicit
 
     obj_class_[a] = merged_class;
     obj_size_[a] += obj_size_[b];
@@ -259,30 +479,31 @@ class Segmenter {
       for (int c = 0; c < C_; ++c) ra[c] += rb[c];
       obj_best_[a] = ra[merged_class];
     }
-    obj_sameness_[a] += rec.same + get_sameness(b);
+    obj_sameness_[a] += rec.same + obj_sameness_[b];
     parent_[b] = a;
     --n_alive_;
 
     // re-point b's records at a, coalescing with existing (a, c) records
-    for (auto& kv : adj_[b]) {
-      const int32_t c = kv.first;
-      const int32_t old_ri = kv.second;
+    collect_neighbors(b);
+    for (const auto& nc : nbr_scratch_) {
+      const int32_t c = nc.first;
+      const int32_t old_ri = nc.second;
+      if (c == a) continue;  // the merging record, already killed
       Record& old_rec = records_[old_ri];
-      adj_[c].erase(b);
-      auto it = adj_[a].find(c);
-      int32_t live_ri;
-      if (it != adj_[a].end()) {
-        Record& keep = records_[it->second];
+      const int32_t na = std::min(a, c), nb = std::max(a, c);
+      int32_t live_ri = find_record(na, nb);
+      if (live_ri >= 0) {
+        Record& keep = records_[live_ri];
         keep.oml += old_rec.oml;
         keep.same += old_rec.same;
         keep.diff += old_rec.diff;
         old_rec.a = old_rec.b = -1;  // tombstone
-        live_ri = it->second;
       } else {
-        old_rec.a = std::min(a, c);
-        old_rec.b = std::max(a, c);
-        adj_[a].emplace(c, old_ri);
-        adj_[c].emplace(a, old_ri);
+        old_rec.a = na;
+        old_rec.b = nb;
+        map_.insert(PairMap::pack(na, nb), old_ri);
+        mapped_nbrs_[a].push_back(c);
+        mapped_nbrs_[c].push_back(a);
         live_ri = old_ri;
       }
       Record& live = records_[live_ri];
@@ -290,12 +511,7 @@ class Segmenter {
       live.pri = compute_priority(live, &mc);
       if (live.pri >= 0.0) queue_.push({live.pri, live_ri});
     }
-    adj_[b].clear();
-  }
-
-  double get_sameness(int32_t r) {
-    auto it = obj_sameness_.find(r);
-    return it == obj_sameness_.end() ? 0.0 : it->second;
+    std::vector<int32_t>().swap(mapped_nbrs_[b]);
   }
 
   void prune(float threshold) {
@@ -324,22 +540,23 @@ class Segmenter {
   const int64_t N_;
   const Options opts_;
   std::vector<int> offsets_;
+  std::vector<int64_t> deltas_;
 
   std::vector<double> cls_lp_;       // (N, C)
-  std::vector<double> log_same_;     // (O, N)
-  std::vector<double> log_diff_;     // (O, N)
 
   std::vector<int32_t> parent_;      // union-find
   std::vector<int64_t> obj_size_;
   std::vector<double> obj_cls_lp_;   // (N, C) per-root accumulators
   std::vector<int> obj_class_;
   std::vector<double> obj_best_;
-  std::unordered_map<int32_t, double> obj_sameness_;
+  std::vector<double> obj_sameness_;
   int64_t n_alive_;
 
-  std::vector<Record> records_;
-  std::vector<std::unordered_map<int32_t, int32_t>> adj_;
-  std::priority_queue<std::pair<double, int32_t>> queue_;
+  std::vector<Record> records_;      // (O, N) fixed implicit slots
+  PairMap map_;                      // rekeyed records only
+  std::vector<std::vector<int32_t>> mapped_nbrs_;
+  std::vector<std::pair<int32_t, int32_t>> nbr_scratch_;
+  MergeQueue queue_;
 };
 
 void run_one(const float* class_pred, int num_classes,

@@ -23,7 +23,7 @@ class FCNResNet(nn.Module):
     dtype: Optional[str] = None
 
     @nn.compact
-    def __call__(self, x, train: bool = True):
+    def __call__(self, x, train: bool = True, output_size=None):
         if self.scale not in (8, 16, 32):
             raise ValueError("scale must be 8, 16 or 32")
         input_size = x.shape[1:3]
@@ -38,7 +38,8 @@ class FCNResNet(nn.Module):
         if self.scale <= 8:
             score_8s = nn.Conv(self.num_outputs, (1, 1), name="score_8s", dtype=self.dtype)(c3)
             score = score_8s + resize_bilinear(score, c3.shape[1:3])
-        return resize_bilinear(score, input_size).astype(jnp.float32)
+        out_size = tuple(output_size) if output_size else input_size
+        return resize_bilinear(score, out_size).astype(jnp.float32)
 
 
 class FCNVGG16(nn.Module):
@@ -48,7 +49,7 @@ class FCNVGG16(nn.Module):
     dtype: Optional[str] = None
 
     @nn.compact
-    def __call__(self, x, train: bool = True):
+    def __call__(self, x, train: bool = True, output_size=None):
         if self.scale not in (8, 16, 32):
             raise ValueError("scale must be 8, 16 or 32")
         input_size = x.shape[1:3]
@@ -66,4 +67,5 @@ class FCNVGG16(nn.Module):
         if self.scale <= 8:
             score_8s = nn.Conv(self.num_outputs, (1, 1), name="score_8s", dtype=self.dtype)(b3)
             score = score_8s + resize_bilinear(score, b3.shape[1:3])
-        return resize_bilinear(score, input_size).astype(jnp.float32)
+        out_size = tuple(output_size) if output_size else input_size
+        return resize_bilinear(score, out_size).astype(jnp.float32)

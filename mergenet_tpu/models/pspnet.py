@@ -98,8 +98,12 @@ class PSPFPNet(nn.Module):
     dtype: Optional[str] = None
 
     @nn.compact
-    def __call__(self, x, train: bool = True):
-        input_size = x.shape[1:3]
+    def __call__(self, x, train: bool = True, output_size=None):
+        """output_size: logits resolution; default the input size.  A
+        serving path that decodes at a reduced size (reference
+        segment.py:93 decodes at half res) should pass it directly and
+        skip the full-res logits round trip."""
+        out_size = tuple(output_size) if output_size else x.shape[1:3]
         feats = ResNetBackbone(layer=self.layer,
                                axis_name=self.axis_name,
                                dtype=self.dtype)(x, train)
@@ -109,7 +113,7 @@ class PSPFPNet(nn.Module):
                                   dtype=self.dtype)(c5, train)
         y = FPNModule(self.num_outputs, fpn_dim=self.fpn_dim,
                       axis_name=self.axis_name, dtype=self.dtype)((c2, c3, c4, c5), train)
-        return resize_bilinear(y, input_size).astype(jnp.float32)
+        return resize_bilinear(y, out_size).astype(jnp.float32)
 
 
 class UperNet(nn.Module):
@@ -124,8 +128,8 @@ class UperNet(nn.Module):
     dtype: Optional[str] = None
 
     @nn.compact
-    def __call__(self, x, train: bool = True):
-        input_size = x.shape[1:3]
+    def __call__(self, x, train: bool = True, output_size=None):
+        out_size = tuple(output_size) if output_size else x.shape[1:3]
         feats = ResNetBackbone(layer=self.layer, deep_stem=True,
                                axis_name=self.axis_name,
                                dtype=self.dtype)(x, train)
@@ -135,7 +139,7 @@ class UperNet(nn.Module):
                                   dtype=self.dtype)(c5, train)
         y = FPNModule(self.num_outputs, fpn_dim=self.fpn_dim,
                       axis_name=self.axis_name, dtype=self.dtype)((c2, c3, c4, c5), train)
-        return resize_bilinear(y, input_size).astype(jnp.float32)
+        return resize_bilinear(y, out_size).astype(jnp.float32)
 
 
 class PSPNet(nn.Module):
@@ -153,8 +157,9 @@ class PSPNet(nn.Module):
     dtype: Optional[str] = None
 
     @nn.compact
-    def __call__(self, x, train: bool = True, with_aux: bool = False):
-        input_size = x.shape[1:3]
+    def __call__(self, x, train: bool = True, with_aux: bool = False,
+                 output_size=None):
+        input_size = tuple(output_size) if output_size else x.shape[1:3]
         feats = ResNetBackbone(
             layer=self.layer,
             deep_stem=True,
