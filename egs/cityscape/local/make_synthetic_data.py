@@ -22,6 +22,22 @@ CLASS_COLORS = [
 ]
 
 
+def class_color(cls, num_classes):
+    """Base RGB for class id `cls` (1..num_classes-1).  The hand-picked
+    table covers the default 8 instance classes; beyond it (e.g. the
+    Cityscapes-like 19-class stress config) colors come from a
+    deterministic HSV wheel so every class stays visually distinct."""
+    if cls - 1 < len(CLASS_COLORS):
+        return np.array(CLASS_COLORS[cls - 1], np.float32)
+    import colorsys
+    k = cls - 1 - len(CLASS_COLORS)
+    n_extra = max(1, num_classes - 1 - len(CLASS_COLORS))
+    h = (k / n_extra + 0.07) % 1.0
+    v = 0.55 + 0.35 * ((k % 3) / 2.0)
+    r, g, b = colorsys.hsv_to_rgb(h, 0.85, v)
+    return np.array([r * 255, g * 255, b * 255], np.float32)
+
+
 def make_scene(rng, H, W, num_classes, max_objects):
     img = np.zeros((H, W, 3), np.float32)
     # background: smooth gradient + texture
@@ -38,9 +54,7 @@ def make_scene(rng, H, W, num_classes, max_objects):
     k = 1
     for _ in range(n_obj):
         cls = rng.randint(1, num_classes)
-        color = np.array(CLASS_COLORS[(cls - 1) % len(CLASS_COLORS)],
-                         np.float32)
-        color = color + rng.normal(0, 12, 3)
+        color = class_color(cls, num_classes) + rng.normal(0, 12, 3)
         h = rng.randint(H // 8, H // 2)
         w = rng.randint(W // 10, W // 3)
         y = rng.randint(0, H - h)

@@ -70,10 +70,21 @@ parser.add_argument(
     "--val-ann", type=str,
     default="data/annotations/instancesonly_filtered_gtFine_val.json")
 parser.add_argument("--limits", default=None, type=int)
+parser.add_argument("--input-pipeline", default="loader", type=str,
+                    choices=["loader", "grain"],
+                    help="'loader' = host-built float32 targets through "
+                         "DataLoader (reference train.py:165-168 "
+                         "semantics); 'grain' = the production pipeline: "
+                         "compact uint8/int32 records, targets built ON "
+                         "DEVICE inside the jitted step (~20x less "
+                         "host->device traffic; mode=all only)")
 parser.add_argument("--tensorboard", action="store_true")
 parser.add_argument("--pretrain", action="store_true")
 parser.add_argument("--crop", action="store_true")
 parser.add_argument("--score", action="store_true")
+parser.add_argument("--seed", default=0, type=int,
+                    help="training seed: model init + per-epoch step rng + "
+                         "grain shuffle/crop seeds")
 
 best_iou = float('-inf')
 random.seed(0)
@@ -95,16 +106,30 @@ def main():
 
     model = get_model(num_classes, num_offsets, args.arch, args.pretrain)
 
+    use_grain = args.input_pipeline == "grain"
+    if use_grain and args.mode != "all":
+        parser.error("--input-pipeline grain supports --mode all only "
+                     "(the compact step builds class+offset targets)")
+
     # datasets
+    grain_source = None
     if args.mode == "all":
         offset_list = generate_offsets(80 / args.scale, args.num_offsets)
-        trainset = AllDataset(args.train_img, args.train_ann, num_classes,
-                              offset_list, scale=args.scale, crop=args.crop,
-                              crop_size=args.crop_size, limits=args.limits)
+        if use_grain:
+            from mergenet_tpu.data.grain_pipeline import CocoInstanceSource
+            trainset = grain_source = CocoInstanceSource(
+                args.train_img, args.train_ann, scale=args.scale,
+                limits=args.limits)
+        else:
+            trainset = AllDataset(args.train_img, args.train_ann,
+                                  num_classes, offset_list,
+                                  scale=args.scale, crop=args.crop,
+                                  crop_size=args.crop_size,
+                                  limits=args.limits)
         valset = AllDataset(args.val_img, args.val_ann, num_classes,
                             offset_list, scale=args.scale, mode="train",
                             limits=args.limits)
-        class_nms = trainset.catNms
+        class_nms = valset.catNms
     elif args.mode == "class":
         offset_list = None
         trainset = ClassDataset(args.train_img, args.train_ann,
@@ -125,8 +150,8 @@ def main():
                                limits=args.limits)
         class_nms = None
 
-    trainloader = DataLoader(trainset, batch_size=args.batch_size,
-                             shuffle=True, drop_last=True)
+    trainloader = None if use_grain else DataLoader(
+        trainset, batch_size=args.batch_size, shuffle=True, drop_last=True)
     valloader = DataLoader(valset, batch_size=min(4, args.batch_size))
     print("Training samples: {0}\nValidation samples: {1}".format(
         len(trainset), len(valset)))
@@ -139,7 +164,7 @@ def main():
                         milestones=args.milestones, gamma=0.2,
                         steps_per_epoch=steps_per_epoch)
     init_hw = args.crop_size if args.crop_size else 128
-    state = create_train_state(model, tx, jax.random.PRNGKey(0),
+    state = create_train_state(model, tx, jax.random.PRNGKey(args.seed),
                                (1, init_hw, init_hw, 3))
     print("Number of model parameters: {}".format(
         param_count(state.params)))
@@ -173,11 +198,18 @@ def main():
 
     mesh = make_mesh() if len(jax.devices()) > 1 else None
     loss_fn = get_loss_fn(args.loss)
-    train_step = build_train_step(
-        num_classes, num_offsets, alpha=args.alpha,
-        criterion_cls=get_loss_fn("bce") if num_classes else None,
-        criterion_ofs=loss_fn if num_offsets else None, mesh=mesh,
-        aux_weight=args.aux_weight if args.arch == "pspnet" else 0.0)
+    if use_grain:
+        from mergenet_tpu.parallel import build_train_step_compact
+        train_step = build_train_step_compact(
+            num_classes, tuple(tuple(o) for o in offset_list),
+            alpha=args.alpha, criterion_cls=get_loss_fn("bce"),
+            criterion_ofs=loss_fn, mesh=mesh)
+    else:
+        train_step = build_train_step(
+            num_classes, num_offsets, alpha=args.alpha,
+            criterion_cls=get_loss_fn("bce") if num_classes else None,
+            criterion_ofs=loss_fn if num_offsets else None, mesh=mesh,
+            aux_weight=args.aux_weight if args.arch == "pspnet" else 0.0)
     eval_step = build_eval_step(
         num_classes, num_offsets, alpha=args.alpha,
         criterion_cls=get_loss_fn("bce") if num_classes else None,
@@ -185,12 +217,27 @@ def main():
 
     iterations = args.start_epoch * steps_per_epoch
     for epoch in range(args.start_epoch, args.epochs):
-        state, iterations = train(
-            trainloader, state, train_step, args.batch_size, epoch,
-            iterations, num_classes=num_classes, class_nms=class_nms,
-            offset_list=offset_list, print_freq=args.print_freq,
-            log_freq=args.log_freq, tensorboard=args.tensorboard,
-            score=args.score, eval_step=eval_step)
+        if use_grain:
+            from mergenet_tpu.data.grain_pipeline import make_train_pipeline
+            from mergenet_tpu.utils.train_utils import train_compact
+            batches, _ = make_train_pipeline(
+                args.train_img, args.train_ann,
+                batch_size=args.batch_size,
+                crop_size=args.crop_size or 128, scale=args.scale,
+                limits=args.limits, seed=args.seed * 10007 + epoch,
+                source=grain_source)
+            state, iterations = train_compact(
+                batches, state, train_step, args.batch_size, epoch,
+                iterations, print_freq=args.print_freq,
+                log_freq=args.log_freq, tensorboard=args.tensorboard,
+                rng=jax.random.PRNGKey(args.seed * 131 + epoch))
+        else:
+            state, iterations = train(
+                trainloader, state, train_step, args.batch_size, epoch,
+                iterations, num_classes=num_classes, class_nms=class_nms,
+                offset_list=offset_list, print_freq=args.print_freq,
+                log_freq=args.log_freq, tensorboard=args.tensorboard,
+                score=args.score, eval_step=eval_step)
         val_iou = validate(
             valloader, state, eval_step, args.batch_size, epoch, iterations,
             num_classes=num_classes, class_nms=class_nms,

@@ -102,16 +102,19 @@ class RandomCrop(grain.transforms.RandomMap):
 def make_train_pipeline(img_dir, annfile, batch_size, crop_size,
                         scale=1, limits=None, seed=0, shuffle=True,
                         num_epochs=None, read_threads=2,
-                        prefetch_buffer=4):
+                        prefetch_buffer=4, source=None):
     """Build the grain pipeline; returns (iter_dataset, source).
 
     Iterating yields dicts of stacked numpy arrays:
         image (B, S, S, 3) uint8, mask (B, S, S) int32,
         object_class (B, MAX_INSTANCES) int32
     Feed them to `build_train_step_compact` — normalization and target
-    construction happen on device."""
-    source = CocoInstanceSource(img_dir, annfile, scale=scale,
-                                limits=limits)
+    construction happen on device.  Pass `source` to reuse an existing
+    CocoInstanceSource across epochs (vary `seed` per epoch for fresh
+    shuffles/crops)."""
+    if source is None:
+        source = CocoInstanceSource(img_dir, annfile, scale=scale,
+                                    limits=limits)
     ds = grain.MapDataset.source(source).seed(seed)
     if shuffle:
         ds = ds.shuffle()

@@ -122,6 +122,42 @@ def train(trainloader, state, train_step, batch_size, epoch, iterations,
     return state, iterations
 
 
+def train_compact(batches, state, train_step, batch_size, epoch,
+                  iterations, print_freq=10, log_freq=1000,
+                  tensorboard=False, rng=None):
+    """Train one epoch over COMPACT grain batches (the production input
+    pipeline): dicts of image uint8 / mask int32 / object_class int32, fed
+    to `build_train_step_compact` which normalizes and builds the
+    (C + O)-plane target ON DEVICE.  The host ships ~20x less data per
+    batch than the host-target `train` loop.  Returns (state, iterations).
+    """
+    all_losses, batch_time = AverageMeter(), AverageMeter()
+    cls_losses, ofs_losses = AverageMeter(), AverageMeter()
+    rng = rng if rng is not None else jax.random.PRNGKey(epoch)
+    end = time.time()
+    for i, batch in enumerate(batches):
+        rng, step_rng = jax.random.split(rng)
+        state, metrics = train_step(state, batch["image"], batch["mask"],
+                                    batch["object_class"], step_rng)
+        iterations += 1
+        all_losses.update(float(metrics["loss"]), batch_size)
+        cls_losses.update(float(metrics["cls_loss"]), batch_size)
+        ofs_losses.update(float(metrics["ofs_loss"]), batch_size)
+        batch_time.update(time.time() - end)
+        end = time.time()
+        if i % print_freq == 0:
+            print("Train(grain): [{0}][{1}]\t"
+                  "Time {bt.val:.3f} ({bt.avg:.3f})\t"
+                  "Loss {loss.val:.4f} ({loss.avg:.4f})".format(
+                      epoch, i, bt=batch_time, loss=all_losses))
+        if tensorboard and iterations % log_freq == 0:
+            tb.log_value("train_cls_loss", cls_losses.avg,
+                         int(iterations / log_freq))
+            tb.log_value("train_ofs_loss", ofs_losses.avg,
+                         int(iterations / log_freq))
+    return state, iterations
+
+
 def validate(validateloader, state, eval_step, batch_size, epoch, iterations,
              num_classes=0, class_nms=None, offset_list=None,
              print_freq=10, log_freq=1000, tensorboard=False, score=False):

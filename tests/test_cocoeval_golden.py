@@ -28,15 +28,18 @@ def _square(r0, c0, h, w, H=32, W=32):
     return m
 
 
-def _eval(gts, dts):
+def _eval(gts, dts, H=32, W=32):
     imgs = sorted({g["image_id"] for g in gts})
+    cat_ids = sorted({g["category_id"] for g in gts} |
+                     {d["category_id"] for d in dts})
     gt = {
-        "images": [{"id": i, "height": 32, "width": 32} for i in imgs],
+        "images": [{"id": i, "height": H, "width": W} for i in imgs],
         "annotations": [dict(g, id=k + 1, area=float(
             maskUtils.area(maskUtils.encode(np.asfortranarray(
                 maskUtils.decode(g["segmentation"]))))))
             for k, g in enumerate(gts)],
-        "categories": [{"id": 1, "name": "thing"}],
+        "categories": [{"id": c, "name": "cat{}".format(c)}
+                       for c in cat_ids],
     }
     coco = COCO()
     coco.dataset = gt
@@ -116,3 +119,120 @@ def test_crowd_regions_absorb_unmatched_detections():
     stats = _eval(gts, dts)
     assert stats[0] == pytest.approx(1.0, abs=1e-6)
     assert stats[1] == pytest.approx(1.0, abs=1e-6)
+
+
+def test_area_range_splits_with_outsized_fp():
+    """128x128 image: one small GT (10x10=100 px < 32^2) and one medium GT
+    (40x40=1600 px in [32^2, 96^2)), both detected exactly; plus a LARGE
+    (100x100=10000 px > 96^2) false positive at the TOP score.
+
+    Overall: ranked [FP, TP, TP] -> precisions (0, 1/2, 2/3); the
+    interpolated envelope is 2/3 at every recall point -> AP = 2/3 at all
+    thresholds.  AP_small / AP_medium: the large FP is ignored (area
+    outside the range), the other range's GT is ignored and so is its
+    matched detection -> perfect PR -> 1.0.  AP_large: no large GT -> -1.
+    """
+    H = W = 128
+    g_s = _square(0, 0, 10, 10, H, W)
+    g_m = _square(50, 50, 40, 40, H, W)
+    fp = _square(10, 20, 100, 100, H, W)
+    gts = [{"image_id": 1, "category_id": 1, "iscrowd": 0,
+            "segmentation": _rle(g_s)},
+           {"image_id": 1, "category_id": 1, "iscrowd": 0,
+            "segmentation": _rle(g_m)}]
+    dts = [{"image_id": 1, "category_id": 1, "score": 0.95,
+            "segmentation": _rle(fp)},
+           {"image_id": 1, "category_id": 1, "score": 0.9,
+            "segmentation": _rle(g_s)},
+           {"image_id": 1, "category_id": 1, "score": 0.8,
+            "segmentation": _rle(g_m)}]
+    stats = _eval(gts, dts, H, W)
+    assert stats[0] == pytest.approx(2 / 3, abs=1e-6)
+    assert stats[1] == pytest.approx(2 / 3, abs=1e-6)
+    assert stats[3] == pytest.approx(1.0, abs=1e-6)   # AP small
+    assert stats[4] == pytest.approx(1.0, abs=1e-6)   # AP medium
+    assert stats[5] == pytest.approx(-1.0, abs=1e-6)  # AP large: no GT
+
+
+def test_maxdets_recall_truncation():
+    """Two GTs; detections ranked [FP(.9), TP(.8), TP(.7)].
+
+    AR@1 uses only the top detection (the FP) -> recall 0.  AR@10/@100
+    see all three -> recall 1.  AP: precisions (0, 1/2, 2/3), envelope
+    2/3 everywhere -> 2/3."""
+    g1, g2 = _square(0, 0, 10, 10), _square(20, 20, 10, 10)
+    fp = _square(0, 20, 8, 8)
+    gts = [{"image_id": 1, "category_id": 1, "iscrowd": 0,
+            "segmentation": _rle(g1)},
+           {"image_id": 1, "category_id": 1, "iscrowd": 0,
+            "segmentation": _rle(g2)}]
+    dts = [{"image_id": 1, "category_id": 1, "score": 0.9,
+            "segmentation": _rle(fp)},
+           {"image_id": 1, "category_id": 1, "score": 0.8,
+            "segmentation": _rle(g1)},
+           {"image_id": 1, "category_id": 1, "score": 0.7,
+            "segmentation": _rle(g2)}]
+    stats = _eval(gts, dts)
+    assert stats[0] == pytest.approx(2 / 3, abs=1e-6)
+    assert stats[6] == pytest.approx(0.0, abs=1e-6)  # AR@1
+    assert stats[7] == pytest.approx(1.0, abs=1e-6)  # AR@10
+    assert stats[8] == pytest.approx(1.0, abs=1e-6)  # AR@100
+
+
+def test_crowd_and_area_range_interaction():
+    """A LARGE crowd region (outside the small area range) still absorbs a
+    small unmatched detection in the small-range evaluation: matched-to-
+    ignored detections are ignored in EVERY range, so AP and AP_small are
+    both perfect."""
+    H = W = 128
+    g1 = _square(0, 0, 10, 10, H, W)            # small GT, matched
+    crowd = _square(24, 0, 104, 128, H, W)      # large crowd
+    d_in_crowd = _square(40, 10, 8, 8, H, W)    # small det inside crowd
+    gts = [{"image_id": 1, "category_id": 1, "iscrowd": 0,
+            "segmentation": _rle(g1)},
+           {"image_id": 1, "category_id": 1, "iscrowd": 1,
+            "segmentation": _rle(crowd)}]
+    dts = [{"image_id": 1, "category_id": 1, "score": 0.9,
+            "segmentation": _rle(g1)},
+           {"image_id": 1, "category_id": 1, "score": 0.8,
+            "segmentation": _rle(d_in_crowd)}]
+    stats = _eval(gts, dts, H, W)
+    assert stats[0] == pytest.approx(1.0, abs=1e-6)
+    assert stats[3] == pytest.approx(1.0, abs=1e-6)  # AP small
+
+
+def test_multi_category_mean():
+    """Per-category APs are averaged: cat 1 matched perfectly (AP 1), cat
+    2's only detection reaches IoU 1/3 (AP 0) -> mean 0.5."""
+    g1, g2 = _square(0, 0, 10, 10), _square(20, 20, 10, 10)
+    d2 = _square(20, 15, 10, 10)  # IoU 1/3 vs g2
+    gts = [{"image_id": 1, "category_id": 1, "iscrowd": 0,
+            "segmentation": _rle(g1)},
+           {"image_id": 1, "category_id": 2, "iscrowd": 0,
+            "segmentation": _rle(g2)}]
+    dts = [{"image_id": 1, "category_id": 1, "score": 0.9,
+            "segmentation": _rle(g1)},
+           {"image_id": 1, "category_id": 2, "score": 0.8,
+            "segmentation": _rle(d2)}]
+    stats = _eval(gts, dts)
+    assert stats[0] == pytest.approx(0.5, abs=1e-6)
+
+
+def test_iou_exactly_at_threshold_matches():
+    """IoU exactly 0.50 matches AT the 0.50 threshold (pycocotools uses
+    min(t, 1-1e-10) so t=0.5 admits iou==0.5) and fails every higher one:
+    AP = 1/10, AP50 = 1, AP75 = 0.
+
+    Geometry in a 48x48 image: GT rows 0..29 (30x10), det rows 10..39
+    (30x10): intersection 200, union 400 -> IoU exactly 0.5."""
+    H = W = 48
+    g = _square(0, 0, 30, 10, H, W)
+    d = _square(10, 0, 30, 10, H, W)
+    gts = [{"image_id": 1, "category_id": 1, "iscrowd": 0,
+            "segmentation": _rle(g)}]
+    dts = [{"image_id": 1, "category_id": 1, "score": 0.9,
+            "segmentation": _rle(d)}]
+    stats = _eval(gts, dts, H, W)
+    assert stats[0] == pytest.approx(0.1, abs=1e-6)
+    assert stats[1] == pytest.approx(1.0, abs=1e-6)
+    assert stats[2] == pytest.approx(0.0, abs=1e-6)

@@ -1,6 +1,7 @@
 """Sharded serving pipeline: multi-device parity with single-device e2e."""
 
 import numpy as np
+import pytest
 
 import jax
 import jax.numpy as jnp
@@ -37,4 +38,36 @@ def test_serving_matches_single_device_e2e():
     np.testing.assert_array_equal(np.asarray(masks),
                                   np.asarray(ref_masks))
     np.testing.assert_array_equal(np.asarray(classes),
+                                  np.asarray(ref_classes))
+
+
+@pytest.mark.slow
+def test_serving_flagship_shape_parity():
+    """VERDICT r2 #4b: the serving pipeline at FLAGSHIP shapes — PSPFPNet
+    (the recipes' default arch) on the 8-device CPU mesh with a realistic
+    256x512 decode and the certified decode capacities — multi-device
+    output equals the single-device e2e bit-for-bit."""
+    from mergenet_tpu.models import get_model
+
+    num_classes, num_offsets = 9, 10
+    from mergenet_tpu.core import generate_offsets
+    offsets = tuple(generate_offsets(40, num_offsets))
+    model = get_model(num_classes, num_offsets, "pspfpnet")
+    params, bs = init_model(model, jax.random.PRNGKey(0), (1, 128, 128, 3))
+    variables = {"params": params, "batch_stats": bs}
+    imgs = jax.random.uniform(jax.random.PRNGKey(1), (8, 512, 1024, 3))
+
+    ref_infer = build_e2e_infer(model, num_classes, offsets,
+                                decode_size=(256, 512), decode_mode="hier")
+    ref_masks, ref_classes = ref_infer(variables, imgs[:2])
+
+    mesh = make_mesh(data=8)
+    serve = build_serving_pipeline(model, num_classes, offsets, mesh,
+                                   decode_size=(256, 512))
+    imgs_sh = jax.device_put(imgs, batch_sharding(mesh))
+    masks, classes = serve(variables, imgs_sh)
+
+    np.testing.assert_array_equal(np.asarray(masks)[:2],
+                                  np.asarray(ref_masks))
+    np.testing.assert_array_equal(np.asarray(classes)[:2],
                                   np.asarray(ref_classes))
