@@ -12,11 +12,12 @@ and cumsums (scatters/segment-ops are avoided at large sizes; they're
 Two decoders share the building blocks (full design: docs/decoder.md):
 
   * `decode_hierarchical` — the CERTIFIED serving decode (one dispatch,
-    133 ms at 512x1024): conservative flood fill -> same-class absorption
-    round(s) with UP-SIZE hooking (a Pallas kernel fuses the edge scan on
-    TPU) -> one-sort pair dedup -> aggregated Boruvka pair rounds.  On
-    trained-model outputs it BEATS the C++ greedy's mask AP
-    (tests/test_decoder_certification.py).
+    ~83 ms at 512x1024 on v5e): conservative flood fill -> same-class
+    absorption round(s) with UP-SIZE hooking (a Pallas kernel fuses the
+    edge scan on TPU) -> one-sort pair dedup with stream compaction ->
+    aggregated Boruvka pair rounds.  Mask-AP parity with the C++ greedy
+    on trained-model outputs, measured ahead
+    (tests/test_decoder_certification.py, docs/benchmarks.md).
 
   * `decode_on_device` / `run_segmentation_device` — the progressive
     exact mode (the on-device oracle): a rolls-only first Boruvka round
@@ -927,12 +928,11 @@ def decode_hierarchical(class_probs, sameness_probs, num_classes, offsets,
     hold ~25x headroom over measured trained-output scenes at 512x1024:
     n_ext ~216k vs edge_slots 512k, ~650 unique pairs vs pair_slots 16k).
 
-    The DEFAULTS are the certified serving configuration: on trained
-    PSPFPNet outputs over the synthetic-street val set it reaches mask
-    AP 0.5911 vs the C++ greedy's 0.5493 at the reference 512x1024
-    decode size (AP50 0.826 vs 0.763), and AP 0.4941 vs 0.4855 at
-    256x512 — see docs/benchmarks.md and
-    tests/test_decoder_certification.py.
+    The DEFAULTS are the certified serving configuration: mask-AP parity
+    with the C++ greedy (measured ahead) on trained PSPFPNet outputs
+    over the synthetic-street val set at the reference 512x1024 decode
+    size — the current multi-seed numbers live in docs/benchmarks.md and
+    are gated in-repo by tests/test_decoder_certification.py.
 
     Returns (comp (H, W) int32, root_class (M2,), is_instance_root (M2,))
     — same contract as `decode_on_device`; feed to `relabel_mask`.
@@ -1285,7 +1285,12 @@ def run_segmentation_device(class_probs, sameness_probs, num_classes,
     the rolls-only round collapses singletons, then capped aggregated
     stages run with capacities bucketed from the MEASURED component/edge
     counts — overflow-proof (no frozen components, unlike static caps),
-    and each stage's sorts shrink with the survivor count.
+    and each stage's sorts shrink with the survivor count.  NOTE: the
+    bucketing (next power of two, `_bucket`) means a heterogeneous image
+    stream can trigger one multi-second XLA compile per NEW
+    (component, pair, edge)-bucket triple before the jit cache warms —
+    typically 1-3 compiles per (H, W); use mode='hier' (single static
+    configuration) for latency-sensitive serving.
     mode='hier' = the certified single-dispatch serving configuration
     (`decode_hierarchical` defaults).  Passing max_components/max_edges
     selects the single-pass capped (throughput) mode instead.

@@ -54,12 +54,18 @@ struct Options {
   float prune_threshold = 200.0f;
 };
 
-struct Record {
+// Record state is split SoA-style: the 16-byte hot part is touched on
+// every queue pop (the staleness check dominates pop-path memory
+// traffic), the 24-byte accumulators only on recompute/merge.
+struct RecHot {
+  double pri;    // current merge priority
+  int32_t a, b;  // live roots (a < b), or -1 when dead
+};
+
+struct RecAcc {
   double oml;   // sum over linking (pixel,offset) pairs of log(b/(1-b))
   double same;  // sum of log(b)
   double diff;  // sum of log(1-b)
-  double pri;   // current merge priority
-  int32_t a, b;  // live roots (a < b), or -1 when dead
 };
 
 // Open-addressing hash map from a packed (a < b) root pair to a record
@@ -266,10 +272,11 @@ class Segmenter {
       queue_.pop();
       double popped = top.first;
       int32_t ri = top.second;
-      Record& r = records_[ri];
+      RecHot& r = hot_[ri];
       if (r.a < 0 || r.pri != popped) continue;  // dead or stale
       int merged_class;
-      double new_pri = compute_priority(r, &merged_class);
+      double new_pri = compute_priority(r.a, r.b, acc_[ri].oml,
+                                        &merged_class);
       r.pri = new_pri;
       bool do_merge = opts_.remerge_mode == 0 ? (new_pri == popped)
                                               : (new_pri >= popped);
@@ -305,8 +312,8 @@ class Segmenter {
       tot_class += obj_best_[r];
       tot_same += obj_sameness_[r];
     }
-    for (const Record& rec : records_)
-      if (rec.a >= 0) tot_diff += rec.diff;
+    for (size_t i = 0; i < hot_.size(); ++i)
+      if (hot_[i].a >= 0) tot_diff += acc_[i].diff;
     return tot_class + (tot_same + tot_diff) * opts_.object_merge_factor;
   }
 
@@ -317,10 +324,11 @@ class Segmenter {
     // and never negated pairs, so each unordered pixel pair appears at
     // most one slot.  No adjacency structure is built: a singleton's
     // neighbors are enumerated from the offset grid on demand.
-    Record dead;
-    dead.oml = dead.same = dead.diff = dead.pri = 0.0;
-    dead.a = dead.b = -1;
-    records_.assign(static_cast<size_t>(N_) * O_, dead);
+    RecHot dead_h;
+    dead_h.pri = 0.0;
+    dead_h.a = dead_h.b = -1;
+    hot_.assign(static_cast<size_t>(N_) * O_, dead_h);
+    acc_.assign(static_cast<size_t>(N_) * O_, RecAcc{0.0, 0.0, 0.0});
 
     std::vector<std::pair<double, int32_t>> heap_init;
     heap_init.reserve(static_cast<size_t>(N_) * O_ / 2);
@@ -328,7 +336,8 @@ class Segmenter {
     for (int o = 0; o < O_; ++o) {
       const int di = offsets_[2 * o], dj = offsets_[2 * o + 1];
       const float* src = sameness_probs + static_cast<int64_t>(o) * N_;
-      Record* slab = records_.data() + static_cast<int64_t>(o) * N_;
+      RecHot* slab_h = hot_.data() + static_cast<int64_t>(o) * N_;
+      RecAcc* slab_a = acc_.data() + static_cast<int64_t>(o) * N_;
       for (int row = 0; row < H_; ++row) {
         const int r2 = row + di;
         if (r2 < 0 || r2 >= H_) continue;
@@ -343,17 +352,18 @@ class Segmenter {
             v = 1.0 / (1.0 + std::exp(-logit));
             v = std::min(std::max(v, eps), 1.0 - eps);
           }
-          Record& rec = slab[p];
-          rec.same = std::log(v);
-          rec.diff = std::log1p(-v);
-          rec.oml = rec.same - rec.diff;
-          rec.a = std::min(p, q);
-          rec.b = std::max(p, q);
+          RecAcc& ra = slab_a[p];
+          RecHot& rh = slab_h[p];
+          ra.same = std::log(v);
+          ra.diff = std::log1p(-v);
+          ra.oml = ra.same - ra.diff;
+          rh.a = std::min(p, q);
+          rh.b = std::max(p, q);
           int merged_class;
-          rec.pri = compute_priority(rec, &merged_class);
-          if (rec.pri >= 0.0)
+          rh.pri = compute_priority(rh.a, rh.b, ra.oml, &merged_class);
+          if (rh.pri >= 0.0)
             heap_init.push_back(
-                {rec.pri, static_cast<int32_t>(o * N_ + p)});
+                {rh.pri, static_cast<int32_t>(o * N_ + p)});
         }
       }
     }
@@ -382,18 +392,18 @@ class Segmenter {
       if (deltas_[o] == d || deltas_[o] == -d) {
         const int32_t p = deltas_[o] > 0 ? a : b;
         const int32_t ri = static_cast<int32_t>(o * N_ + p);
-        const Record& rec = records_[ri];
+        const RecHot& rec = hot_[ri];
         if (rec.a == a && rec.b == b) return ri;
         break;
       }
     }
     const int32_t ri = map_.find(PairMap::pack(a, b));
-    if (ri >= 0 && (records_[ri].a != a || records_[ri].b != b)) return -1;
+    if (ri >= 0 && (hot_[ri].a != a || hot_[ri].b != b)) return -1;
     return ri;
   }
 
-  double compute_priority(const Record& r, int* merged_class) {
-    const int32_t a = r.a, b = r.b;
+  double compute_priority(int32_t a, int32_t b, double oml,
+                          int* merged_class) {
     double cdl;
     if (obj_class_[a] == obj_class_[b]) {
       cdl = 0.0;
@@ -414,8 +424,8 @@ class Segmenter {
     const double bias = opts_.merge_logprob_bias;
     const double n1 = static_cast<double>(obj_size_[a]);
     const double n2 = static_cast<double>(obj_size_[b]);
-    if (opts_.den_mode == 0) return (r.oml * f + cdl) / (n1 + n2) + bias;
-    return (r.oml * f + cdl + bias) / (n1 * n2);
+    if (opts_.den_mode == 0) return (oml * f + cdl) / (n1 + n2) + bias;
+    return (oml * f + cdl + bias) / (n1 * n2);
   }
 
   // Enumerate b's live neighbor records into nbr_scratch_ as (c, ri).
@@ -429,7 +439,7 @@ class Segmenter {
       int r2 = row + di, c2 = col + dj;
       if (r2 >= 0 && r2 < H_ && c2 >= 0 && c2 < W_) {
         const int32_t q = r2 * W_ + c2;
-        const Record& rec = records_[o * N_ + b];
+        const RecHot& rec = hot_[o * N_ + b];
         if (rec.a == std::min(b, q) && rec.b == std::max(b, q)) {
           // the slot may hold a REKEYED record whose new pair happens to
           // equal (b, q) — then a map entry exists too; erase it so the
@@ -443,7 +453,7 @@ class Segmenter {
       c2 = col - dj;
       if (r2 >= 0 && r2 < H_ && c2 >= 0 && c2 < W_) {
         const int32_t p = r2 * W_ + c2;
-        const Record& rec = records_[o * N_ + p];
+        const RecHot& rec = hot_[o * N_ + p];
         if (rec.a == std::min(b, p) && rec.b == std::max(b, p)) {
           map_.erase(PairMap::pack(rec.a, rec.b));
           nbr_scratch_.push_back({p, static_cast<int32_t>(o * N_ + p)});
@@ -455,8 +465,8 @@ class Segmenter {
     for (int32_t c : mapped_nbrs_[b]) {
       const uint64_t key = PairMap::pack(std::min(b, c), std::max(b, c));
       const int32_t ri = map_.find(key);
-      if (ri < 0 || records_[ri].a != std::min(b, c) ||
-          records_[ri].b != std::max(b, c))
+      if (ri < 0 || hot_[ri].a != std::min(b, c) ||
+          hot_[ri].b != std::max(b, c))
         continue;
       map_.erase(key);
       nbr_scratch_.push_back({c, ri});
@@ -464,11 +474,12 @@ class Segmenter {
   }
 
   void merge(int32_t ri, int merged_class) {
-    Record rec = records_[ri];
+    RecHot rec = hot_[ri];
+    const double rec_same = acc_[ri].same;
     int32_t a = rec.a, b = rec.b;
     if (obj_size_[b] > obj_size_[a]) std::swap(a, b);  // b dies
 
-    records_[ri].a = records_[ri].b = -1;  // kill the merging record
+    hot_[ri].a = hot_[ri].b = -1;  // kill the merging record
     map_.erase(PairMap::pack(rec.a, rec.b));  // no-op if it was implicit
 
     obj_class_[a] = merged_class;
@@ -479,7 +490,7 @@ class Segmenter {
       for (int c = 0; c < C_; ++c) ra[c] += rb[c];
       obj_best_[a] = ra[merged_class];
     }
-    obj_sameness_[a] += rec.same + obj_sameness_[b];
+    obj_sameness_[a] += rec_same + obj_sameness_[b];
     parent_[b] = a;
     --n_alive_;
 
@@ -489,14 +500,15 @@ class Segmenter {
       const int32_t c = nc.first;
       const int32_t old_ri = nc.second;
       if (c == a) continue;  // the merging record, already killed
-      Record& old_rec = records_[old_ri];
+      RecHot& old_rec = hot_[old_ri];
       const int32_t na = std::min(a, c), nb = std::max(a, c);
       int32_t live_ri = find_record(na, nb);
       if (live_ri >= 0) {
-        Record& keep = records_[live_ri];
-        keep.oml += old_rec.oml;
-        keep.same += old_rec.same;
-        keep.diff += old_rec.diff;
+        RecAcc& keep = acc_[live_ri];
+        const RecAcc& old_acc = acc_[old_ri];
+        keep.oml += old_acc.oml;
+        keep.same += old_acc.same;
+        keep.diff += old_acc.diff;
         old_rec.a = old_rec.b = -1;  // tombstone
       } else {
         old_rec.a = na;
@@ -506,9 +518,9 @@ class Segmenter {
         mapped_nbrs_[c].push_back(a);
         live_ri = old_ri;
       }
-      Record& live = records_[live_ri];
+      RecHot& live = hot_[live_ri];
       int mc;
-      live.pri = compute_priority(live, &mc);
+      live.pri = compute_priority(live.a, live.b, acc_[live_ri].oml, &mc);
       if (live.pri >= 0.0) queue_.push({live.pri, live_ri});
     }
     std::vector<int32_t>().swap(mapped_nbrs_[b]);
@@ -552,7 +564,8 @@ class Segmenter {
   std::vector<double> obj_sameness_;
   int64_t n_alive_;
 
-  std::vector<Record> records_;      // (O, N) fixed implicit slots
+  std::vector<RecHot> hot_;          // (O, N) fixed implicit slots
+  std::vector<RecAcc> acc_;          // accumulators, same indexing
   PairMap map_;                      // rekeyed records only
   std::vector<std::vector<int32_t>> mapped_nbrs_;
   std::vector<std::pair<int32_t, int32_t>> nbr_scratch_;

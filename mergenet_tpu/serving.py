@@ -11,10 +11,12 @@ This is the TPU-native replacement for the reference's multi-process
 `--job/--num-jobs` image sharding (`utils/dataset.py:56-63`): one SPMD
 program instead of N processes, and the decode never leaves the device.
 
-Throughput: single-chip bench is 6.36 fps (bench.py); per-chip decode is
-independent, so a v5e-8 slice serves ~8x that (validated for
-compile+execution on a virtual 8-device mesh by tests/test_serving.py
-and the driver's `dryrun_multichip`).
+Throughput: see bench.py / the driver's BENCH_rNN.json (canonical;
+10.1 fps/chip as of round 3); per-chip decode is independent, so a
+v5e-8 slice serves ~8x that (validated for compile+execution on a
+virtual 8-device mesh by tests/test_serving.py — including a
+flagship-shape PSPFPNet parity test — and the driver's
+`dryrun_multichip`).
 """
 
 from functools import partial

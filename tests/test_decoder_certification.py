@@ -84,10 +84,12 @@ def test_hier_decoder_ap_parity_with_cpp_greedy_on_trained_outputs():
     assert ap50_h >= ap50_c - 0.03, (ap50_h, ap50_c)
 
 
-@pytest.mark.slow
 def test_cpp_fixture_masks_are_reproducible():
     """Guard against silent drift of the C++ greedy (the parity oracle):
-    re-decode one fixture and compare with the committed mask."""
+    re-decode one fixture and compare with the committed mask.  Runs in
+    the default suite since the round-3 oracle redesign (256x512 decode
+    10.8 s -> ~2.5 s: implicit-slot adjacency + global pair map + 4-ary
+    heap + SoA record split)."""
     from mergenet_tpu.decoder.csegment import run_segmentation as cpp_run
     offsets = [tuple(int(x) for x in o)
                for o in np.load(os.path.join(FIX, "offsets.npy"))]
