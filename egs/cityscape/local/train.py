@@ -70,6 +70,10 @@ parser.add_argument(
     "--val-ann", type=str,
     default="data/annotations/instancesonly_filtered_gtFine_val.json")
 parser.add_argument("--limits", default=None, type=int)
+parser.add_argument("--val-limits", default=None, type=int,
+                    help="cap the validation set independently of "
+                         "--limits (the per-epoch val pass builds host "
+                         "targets; large val sets dominate epoch time)")
 parser.add_argument("--input-pipeline", default="loader", type=str,
                     choices=["loader", "grain"],
                     help="'loader' = host-built float32 targets through "
@@ -128,7 +132,7 @@ def main():
                                   limits=args.limits)
         valset = AllDataset(args.val_img, args.val_ann, num_classes,
                             offset_list, scale=args.scale, mode="train",
-                            limits=args.limits)
+                            limits=args.val_limits or args.limits)
         class_nms = valset.catNms
     elif args.mode == "class":
         offset_list = None
@@ -136,7 +140,8 @@ def main():
                                 scale=args.scale, crop=args.crop,
                                 crop_size=args.crop_size, limits=args.limits)
         valset = ClassDataset(args.val_img, args.val_ann, scale=args.scale,
-                              mode="train", limits=args.limits)
+                              mode="train",
+                              limits=args.val_limits or args.limits)
         class_nms = trainset.catNms
     else:  # offset
         offset_list = generate_offsets(80 / args.scale, args.num_offsets)
@@ -147,7 +152,7 @@ def main():
                                  limits=args.limits)
         valset = OffsetDataset(args.val_img, args.val_ann, offset_list,
                                scale=args.scale, mode="train",
-                               limits=args.limits)
+                               limits=args.val_limits or args.limits)
         class_nms = None
 
     trainloader = None if use_grain else DataLoader(

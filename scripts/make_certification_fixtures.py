@@ -144,6 +144,7 @@ def main():
                     "--arch", "pspfpnet", "--batch-size", args.batch_size,
                     "--crop-size", args.crop_size,
                     "--epochs", args.epochs, "--lr", "0.02",
+                    "--val-limits", "6",
                     "--milestones", int(args.epochs * 0.6),
                     int(args.epochs * 0.85),
                     "--seed", seed)
