@@ -201,14 +201,19 @@ def main():
         print("=> loaded checkpoint '{}' (epoch {})".format(
             args.resume, args.start_epoch))
 
-    mesh = make_mesh() if len(jax.devices()) > 1 else None
+    # data axis must divide the (drop_last) global batch; sub-mesh when the
+    # toy batch is smaller than the device count (parallel/mesh.py)
+    from mergenet_tpu.parallel import data_axis_for_batch
+    dp = data_axis_for_batch(args.batch_size)
+    mesh = make_mesh(data=dp, devices=jax.devices()[:dp]) if dp > 1 else None
     loss_fn = get_loss_fn(args.loss)
     if use_grain:
         from mergenet_tpu.parallel import build_train_step_compact
         train_step = build_train_step_compact(
             num_classes, tuple(tuple(o) for o in offset_list),
             alpha=args.alpha, criterion_cls=get_loss_fn("bce"),
-            criterion_ofs=loss_fn, mesh=mesh)
+            criterion_ofs=loss_fn, mesh=mesh,
+            aux_weight=args.aux_weight if args.arch == "pspnet" else 0.0)
     else:
         train_step = build_train_step(
             num_classes, num_offsets, alpha=args.alpha,
@@ -248,12 +253,12 @@ def main():
             num_classes=num_classes, class_nms=class_nms,
             offset_list=offset_list, print_freq=args.print_freq,
             log_freq=args.log_freq, tensorboard=args.tensorboard,
-            score=args.score)
+            score=args.score, pad_to=dp)
         if args.visual_freq > 0 and epoch % args.visual_freq == 0:
             outdir = "{}/imgs/{}".format(args.dir, epoch)
             os.makedirs(outdir, exist_ok=True)
             sample(state, eval_step, valloader, outdir, num_classes,
-                   num_offsets)
+                   num_offsets, pad_to=dp)
         is_best = val_iou > best_iou
         best_iou = max(val_iou, best_iou)
         save_checkpoint(args.dir, state, is_best, epoch=epoch + 1,

@@ -108,7 +108,10 @@ def main():
         if meta.get("offsets"):
             offset_list = meta["offsets"]
 
-    mesh = make_mesh() if len(jax.devices()) > 1 else None
+    # data axis must divide the (drop_last) global batch (parallel/mesh.py)
+    from mergenet_tpu.parallel import data_axis_for_batch
+    dp = data_axis_for_batch(args.batch_size)
+    mesh = make_mesh(data=dp, devices=jax.devices()[:dp]) if dp > 1 else None
     loss_fn = get_loss_fn(args.loss)
     train_step = build_train_step(num_classes, num_offsets,
                                   alpha=args.alpha,
@@ -130,7 +133,7 @@ def main():
             iterations, num_classes=num_classes,
             class_nms=trainset.catNms, offset_list=offset_list,
             print_freq=args.print_freq, tensorboard=args.tensorboard,
-            score=args.score)
+            score=args.score, pad_to=dp)
         is_best = val_iou > best_iou
         best_iou = max(val_iou, best_iou)
         save_checkpoint(args.dir, state, is_best, epoch=epoch + 1,

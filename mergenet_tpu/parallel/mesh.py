@@ -42,6 +42,24 @@ def make_mesh(data: int = 0, spatial: int = 1, model: int = 1,
     return Mesh(dev_array, axis_names=("data", "spatial", "model"))
 
 
+def data_axis_for_batch(batch_size: int, n_devices: Optional[int] = None):
+    """Largest data-parallel axis size <= n_devices that divides
+    `batch_size`, so every (drop_last) batch shards exactly.
+
+    GSPMD requires the global batch to be divisible by the data axis; a
+    recipe whose batch is smaller than (or not a multiple of) the device
+    count uses a sub-mesh `make_mesh(data=dp, devices=devices[:dp])`
+    instead of failing (the remaining devices idle — correctness over
+    utilization at toy scales; at production scales batch is a multiple
+    of the chip count and dp == n_devices)."""
+    if n_devices is None:
+        n_devices = len(jax.devices())
+    dp = min(batch_size, n_devices)
+    while dp > 1 and batch_size % dp:
+        dp -= 1
+    return dp
+
+
 def batch_sharding(mesh: Mesh, spatial_axis: Optional[int] = 1):
     """Sharding for NHWC batches: batch over 'data', H over 'spatial'."""
     spec = [None, None, None, None]

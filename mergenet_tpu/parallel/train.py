@@ -157,7 +157,8 @@ def build_train_step(num_classes, num_offsets, alpha=1.0,
 def build_train_step_compact(num_classes, offsets, alpha=1.0,
                              criterion_cls=bce_with_logits_loss,
                              criterion_ofs=bce_with_logits_loss,
-                             mesh=None, donate=True, remat=False):
+                             mesh=None, donate=True, remat=False,
+                             aux_weight=0.0):
     """Train step over *compact* batches from the grain pipeline:
     step(state, image_u8, mask, object_class, rng) -> (state, metrics).
 
@@ -166,6 +167,8 @@ def build_train_step_compact(num_classes, offsets, alpha=1.0,
     reference's convention, dataset.py:131-134) and the (C + O)-plane
     target construction (`ops.targets.mask_to_target`) run on device inside
     the jitted step — the host ships ~20x less data than float32 targets.
+    `aux_weight > 0` adds deep supervision on the model's auxiliary head
+    (same semantics as `build_train_step`).
     """
     from ..ops.targets import mask_to_target
 
@@ -179,26 +182,36 @@ def build_train_step_compact(num_classes, offsets, alpha=1.0,
         )(mask, object_class)
 
         def forward(params, img):
+            kwargs = {"with_aux": True} if aux_weight else {}
             return state.apply_fn(
                 {"params": params, "batch_stats": state.batch_stats},
                 img, train=True, mutable=["batch_stats"],
-                rngs={"dropout": rng})
+                rngs={"dropout": rng}, **kwargs)
 
         if remat:
             forward = jax.checkpoint(forward)
 
         def loss_fn(params):
             outs, updates = forward(params, img)
+            aux_l = jnp.zeros((), jnp.float32)
+            if aux_weight:
+                outs, aux = outs
+                aux_l, _, _ = _split_loss(
+                    aux, target, num_classes, num_offsets, alpha,
+                    criterion_cls, criterion_ofs)
             total, cls_l, ofs_l = _split_loss(
                 outs, target, num_classes, num_offsets, alpha,
                 criterion_cls, criterion_ofs)
-            return total, (cls_l, ofs_l, updates)
+            total = total + aux_weight * aux_l
+            return total, (cls_l, ofs_l, aux_l, updates)
 
-        (total, (cls_l, ofs_l, updates)), grads = jax.value_and_grad(
+        (total, (cls_l, ofs_l, aux_l, updates)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(state.params)
         new_state = state.apply_gradients(
             grads, updates.get("batch_stats", state.batch_stats))
         metrics = {"loss": total, "cls_loss": cls_l, "ofs_loss": ofs_l}
+        if aux_weight:
+            metrics["aux_loss"] = aux_l
         return new_state, metrics
 
     donate_argnums = (0,) if donate else ()

@@ -158,13 +158,30 @@ def train_compact(batches, state, train_step, batch_size, epoch,
     return state, iterations
 
 
+def _pad_batch(arr, multiple):
+    """Pad the batch dim up to a multiple by repeating the last sample
+    (GSPMD data-sharding divisibility); returns (padded, n_real)."""
+    n = arr.shape[0]
+    pad = (-n) % multiple
+    if pad == 0:
+        return arr, n
+    a = np.asarray(arr)
+    return np.concatenate([a, np.repeat(a[-1:], pad, 0)], 0), n
+
+
 def validate(validateloader, state, eval_step, batch_size, epoch, iterations,
              num_classes=0, class_nms=None, offset_list=None,
-             print_freq=10, log_freq=1000, tensorboard=False, score=False):
+             print_freq=10, log_freq=1000, tensorboard=False, score=False,
+             pad_to=1):
     """Validate; returns the model-selection signal mean_iou (class IoU +
     offset IoU when both heads are active, reference
     train_utils.py:221-227).  Requires score=True for a meaningful value;
-    otherwise returns -avg_loss (still 'higher is better')."""
+    otherwise returns -avg_loss (still 'higher is better').
+
+    `pad_to` (the mesh's data-axis size) pads partial batches by
+    repeating the last sample so sharded eval steps see a divisible
+    batch; score metrics are computed on the real rows only (loss meters
+    include the padded duplicates — negligible logging skew)."""
     with_class = num_classes > 0
     with_offset = offset_list is not None and len(offset_list) > 0
     cls_losses, ofs_losses = AverageMeter(), AverageMeter()
@@ -179,6 +196,11 @@ def validate(validateloader, state, eval_step, batch_size, epoch, iterations,
         else 0
     for i, batch in enumerate(validateloader):
         img, target = batch[-2], batch[-1]  # tolerate (id, img, target)
+        if pad_to > 1:
+            img, n_real = _pad_batch(img, pad_to)
+            target, _ = _pad_batch(target, pad_to)
+        else:
+            n_real = img.shape[0]
         probs, metrics = eval_step(state, img, target)
         all_losses.update(float(metrics["loss"]), batch_size)
         if with_class:
@@ -186,11 +208,11 @@ def validate(validateloader, state, eval_step, batch_size, epoch, iterations,
         if with_offset:
             ofs_losses.update(float(metrics["ofs_loss"]), batch_size)
         if score and with_class:
-            score_metrics.update(probs[..., :num_classes],
-                                 target[..., :num_classes])
+            score_metrics.update(probs[:n_real, ..., :num_classes],
+                                 target[:n_real, ..., :num_classes])
         if score and with_offset:
-            offset_metrics.update(probs[..., num_classes:],
-                                  target[..., num_classes:])
+            offset_metrics.update(probs[:n_real, ..., num_classes:],
+                                  target[:n_real, ..., num_classes:])
         batch_time.update(time.time() - end)
         end = time.time()
         if i % print_freq == 0:
@@ -237,12 +259,16 @@ def _save_plane_png(path, plane):
     cv2.imwrite(path, (arr * 255).astype(np.uint8))
 
 
-def sample(state, eval_step, dataloader, outdir, n_classes, n_offsets):
+def sample(state, eval_step, dataloader, outdir, n_classes, n_offsets,
+           pad_to=1):
     """Dump one batch's targets and sigmoid predictions as pngs for
     eyeballing (reference train_utils.py:231-283)."""
     os.makedirs(outdir, exist_ok=True)
     batch = next(iter(dataloader))
     img, target = batch[-2], batch[-1]
+    if pad_to > 1:
+        img, _ = _pad_batch(img, pad_to)
+        target, _ = _pad_batch(target, pad_to)
     img = np.asarray(img)
     _save_plane_png("{0}/raw.png".format(outdir), img[0])
     for i in range(n_classes):

@@ -20,6 +20,36 @@ def test_mesh_axes():
     assert mesh.shape["data"] * 2 == len(jax.devices())
 
 
+def test_data_axis_for_batch():
+    from mergenet_tpu.parallel import data_axis_for_batch
+    assert data_axis_for_batch(16, 8) == 8
+    assert data_axis_for_batch(2, 8) == 2   # toy batch -> dp2 sub-mesh
+    assert data_axis_for_batch(6, 8) == 6
+    assert data_axis_for_batch(7, 4) == 1   # prime batch: no sharding
+    assert data_axis_for_batch(8, 1) == 1
+
+
+def test_validate_pads_partial_batches_on_mesh():
+    """A 3-sample val set at batch 2 leaves a partial final batch; with
+    pad_to = mesh data size the sharded eval step still runs and the
+    score metrics cover the real rows only (recipe divisibility fix)."""
+    from mergenet_tpu.parallel import data_axis_for_batch
+    from mergenet_tpu.utils.train_utils import validate
+
+    dp = data_axis_for_batch(2)
+    assert dp == 2
+    mesh = make_mesh(data=dp, devices=jax.devices()[:dp])
+    _, state, _ = _tiny_setup()
+    eval_step = build_eval_step(3, 2, alpha=1.0, mesh=mesh)
+    rs = np.random.RandomState(0)
+    imgs = rs.rand(3, 16, 16, 3).astype(np.float32)
+    targets = (rs.rand(3, 16, 16, 5) > 0.5).astype(np.float32)
+    batches = [(imgs[:2], targets[:2]), (imgs[2:], targets[2:])]
+    val = validate(batches, state, eval_step, 2, 0, 0, num_classes=3,
+                   offset_list=[(1, 0), (0, 1)], score=True, pad_to=dp)
+    assert np.isfinite(val)
+
+
 def test_multistep_lr():
     sched = multistep_lr(0.1, [2, 4], gamma=0.1, steps_per_epoch=10)
     assert np.isclose(sched(0), 0.1)

@@ -21,6 +21,12 @@ def _env():
     env = dict(os.environ)
     env["PYTHONPATH"] = REPO + ":" + env.get("PYTHONPATH", "")
     env["JAX_PLATFORMS"] = "cpu"
+    # the environment's sitecustomize DIALS THE TPU RELAY at interpreter
+    # start whenever PALLAS_AXON_POOL_IPS is set — even though
+    # JAX_PLATFORMS=cpu means jax never selects that backend.  Strip it
+    # so recipe subprocesses are truly CPU-only (a wedged relay
+    # otherwise hangs every subprocess test at startup).
+    env.pop("PALLAS_AXON_POOL_IPS", None)
     flags = env.get("XLA_FLAGS", "")
     if "host_platform_device_count" not in flags:
         env["XLA_FLAGS"] = (

@@ -230,3 +230,27 @@ def test_aux_head_deep_supervision():
                              donate=False)
     state3, metrics0 = step0(state, img, target, jax.random.PRNGKey(2))
     assert "aux_loss" not in metrics0
+
+
+def test_aux_head_deep_supervision_compact():
+    """The grain-path compact step threads aux_weight the same way
+    (roadmap 'Capability' gap: pspnet deep supervision on grain)."""
+    from mergenet_tpu.models.pspnet import PSPNet
+    from mergenet_tpu.parallel import build_train_step_compact
+
+    num_classes, offsets = 3, ((1, 0), (0, 1))
+    model = PSPNet(num_classes + len(offsets), layer=50, pool_sizes=(1, 2))
+    tx = make_optimizer(lr=0.05)
+    state = create_train_state(model, tx, jax.random.PRNGKey(0),
+                               (1, 64, 64, 3))
+    step = build_train_step_compact(num_classes, offsets, alpha=1.0,
+                                    aux_weight=0.4, donate=False)
+    rs = np.random.RandomState(0)
+    img_u8 = jnp.asarray(rs.randint(0, 256, (2, 64, 64, 3), np.uint8))
+    mask = jnp.asarray(rs.randint(0, 3, (2, 64, 64)).astype(np.int32))
+    oc = jnp.asarray(np.tile(np.array([1, 2], np.int32), (2, 1)))
+    before = np.asarray(state.params["Conv_3"]["kernel"])
+    state2, metrics = step(state, img_u8, mask, oc, jax.random.PRNGKey(2))
+    assert float(metrics["aux_loss"]) > 0
+    after = np.asarray(state2.params["Conv_3"]["kernel"])
+    assert not np.allclose(before, after), "aux head got no gradient"
