@@ -43,8 +43,18 @@ class FCNResNet(nn.Module):
 
 
 class FCNVGG16(nn.Module):
+    """`ref_head=True` reproduces the reference head geometry exactly —
+    a VALID-padded 7x7 fc-conv (`models/fcn.py:97` has no padding, so the
+    /32 score map shrinks by 6 before upsampling) — which makes imported
+    reference checkpoints forward-parity exact
+    (`weight_import.fcn_vgg16_mapping`).  The default SAME padding keeps
+    the /32 spatial dims (works at any input size; preferred when
+    training from scratch)."""
+
     num_outputs: int
     scale: int = 8
+    ref_head: bool = False
+    width_mult: float = 1.0
     axis_name: Optional[str] = None
     dtype: Optional[str] = None
 
@@ -53,11 +63,16 @@ class FCNVGG16(nn.Module):
         if self.scale not in (8, 16, 32):
             raise ValueError("scale must be 8, 16 or 32")
         input_size = x.shape[1:3]
-        b1, b2, b3, b4, b5 = VGG16Backbone(dtype=self.dtype)(x, train)
+        b1, b2, b3, b4, b5 = VGG16Backbone(
+            width_mult=self.width_mult, dtype=self.dtype)(x, train)
         # fc-style head on the /32 features (reference fcn.py:98-104)
-        y = nn.relu(nn.Conv(4096, (7, 7), padding="SAME", dtype=self.dtype)(b5))
+        from .vgg import vgg_width
+        y = nn.relu(nn.Conv(vgg_width(4096, self.width_mult), (7, 7),
+                            padding="VALID" if self.ref_head else "SAME",
+                            dtype=self.dtype)(b5))
         y = nn.Dropout(0.5, deterministic=not train)(y)
-        y = nn.relu(nn.Conv(4096, (1, 1), dtype=self.dtype)(y))
+        y = nn.relu(nn.Conv(vgg_width(4096, self.width_mult), (1, 1),
+                            dtype=self.dtype)(y))
         y = nn.Dropout(0.5, deterministic=not train)(y)
         score = nn.Conv(self.num_outputs, (1, 1), name="score_32s", dtype=self.dtype)(y)
         if self.scale <= 16:

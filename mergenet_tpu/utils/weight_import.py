@@ -127,6 +127,43 @@ def unet_mapping(depth=5):
     return m
 
 
+_VGG16_BLOCK_CONVS = ((0, 2), (0, 2), (0, 2, 4), (0, 2, 4), (0, 2, 4))
+# torchvision vgg16.features conv indices, used by the plain-backbone route
+_VGG16_FEATURE_CONVS = (0, 2, 5, 7, 10, 12, 14, 17, 19, 21, 24, 26, 28)
+
+
+def fcn_vgg16_mapping(scale=8):
+    """Reference FCNVGG16 naming (`models/fcn.py:86-107`: torchvision
+    vgg16.features sliced into `block{1..5}` Sequentials, head
+    `score_32s` = Sequential(7x7 conv, relu, dropout, 1x1 conv, relu,
+    dropout, 1x1 conv), plus `score_16s`/`score_8s` 1x1 convs) onto our
+    `models/fcn.py::FCNVGG16` tree.  Use with `FCNVGG16(ref_head=True)`
+    for exact forward geometry (the reference 7x7 is VALID-padded)."""
+    m = []
+    j = 0
+    for b, convs in enumerate(_VGG16_BLOCK_CONVS):
+        for i in convs:
+            m.append(("block{}.{}".format(b + 1, i),
+                      "VGG16Backbone_0/Conv_{}".format(j), "conv"))
+            j += 1
+    m.append(("score_32s.0", "Conv_0", "conv"))   # 7x7 fc-conv
+    m.append(("score_32s.3", "Conv_1", "conv"))   # 1x1 4096
+    m.append(("score_32s.6", "score_32s", "conv"))
+    if scale <= 16:
+        m.append(("score_16s", "score_16s", "conv"))
+    if scale <= 8:
+        m.append(("score_8s", "score_8s", "conv"))
+    return m
+
+
+def vgg16_backbone_mapping():
+    """Plain torchvision vgg16 state dict (`features.{i}.*`) onto the
+    VGG16Backbone subtree (the `--pretrain` route for fcn*_vgg16)."""
+    return [("features.{}".format(fi),
+             "VGG16Backbone_0/Conv_{}".format(j), "conv")
+            for j, fi in enumerate(_VGG16_FEATURE_CONVS)]
+
+
 def model_mapping(arch, layer=None):
     """Full-model mapping for a reference checkpoint of `arch`."""
     if arch in ("unet", "unet_small"):
@@ -141,6 +178,8 @@ def model_mapping(arch, layer=None):
         return (resnet_mapping(layer, True, "resnet.",
                                "ResNetBackbone_0/")
                 + _ppm_mapping() + _fpn_mapping())
+    if arch.startswith("fcn") and "vgg16" in arch:
+        return fcn_vgg16_mapping(int(arch.split("_")[0][3:]))
     if arch.startswith("fcn") and "resnet" in arch:
         layer = layer or int(arch.split("resnet")[1])
         m = resnet_mapping(layer, False, "resnet.", "ResNetBackbone_0/")
@@ -172,6 +211,8 @@ def backbone_mapping(arch, layer=None):
     """Backbone-only mapping for a PLAIN torchvision-style ResNet state
     dict (keys `conv1...` with no `resnet.` prefix) — the pretrained-
     weights format the reference downloads (`models/resnet.py:214-222`)."""
+    if arch.startswith("fcn") and "vgg16" in arch:
+        return vgg16_backbone_mapping()
     if "fpnet" in arch or arch.startswith("fcn"):
         layer = layer or (50 if "fpnet" in arch
                           else int(arch.split("resnet")[1]))
@@ -272,7 +313,8 @@ def load_pretrained(params, batch_stats, path, arch, layer=None,
     trees."""
     from .checkpoint import import_torch_checkpoint
     flat, _ = import_torch_checkpoint(path)
-    full = any(k.startswith("resnet.") for k in flat)
+    full = any(k.startswith("resnet.") or k.startswith("block1.")
+               for k in flat)
     if arch in ("unet", "unet_small") or any(
             k.startswith("down_convs.") for k in flat):
         # UNet checkpoints have no backbone/full split

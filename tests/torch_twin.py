@@ -198,3 +198,57 @@ class TorchUNet(nn.Module):
             x = F.relu(u.bn1(u.conv1(x)))
             x = F.relu(u.bn2(u.conv2(x)))
         return self.conv_final(x)
+
+
+class TorchFCNVGG16(nn.Module):
+    """Reference-shaped FCNVGG16 twin (`models/fcn.py:80-137` naming:
+    torchvision vgg16.features sliced into block{1..5} Sequentials with
+    the original inner indices, head score_32s Sequential with a
+    VALID-padded 7x7 fc-conv, score_16s/score_8s 1x1 taps)."""
+
+    def __init__(self, num_outputs, scale=8, width=1.0):
+        super().__init__()
+        self.scale = scale
+
+        def blk(ins, outs, n):
+            layers = []
+            for _ in range(n):
+                layers += [nn.Conv2d(ins, outs, 3, padding=1),
+                           nn.ReLU(inplace=True)]
+                ins = outs
+            layers.append(nn.MaxPool2d(2, 2))
+            return nn.Sequential(*layers)
+
+        w = lambda c: max(8, int(c * width))
+        self.block1 = blk(3, w(64), 2)
+        self.block2 = blk(w(64), w(128), 2)
+        self.block3 = blk(w(128), w(256), 3)
+        self.block4 = blk(w(256), w(512), 3)
+        self.block5 = blk(w(512), w(512), 3)
+        fc = w(4096)
+        self.score_32s = nn.Sequential(
+            nn.Conv2d(w(512), fc, 7), nn.ReLU(inplace=True), nn.Dropout2d(),
+            nn.Conv2d(fc, fc, 1), nn.ReLU(inplace=True), nn.Dropout2d(),
+            nn.Conv2d(fc, num_outputs, 1))
+        if scale <= 16:
+            self.score_16s = nn.Conv2d(w(512), num_outputs, 1)
+        if scale <= 8:
+            self.score_8s = nn.Conv2d(w(256), num_outputs, 1)
+
+    def forward(self, x):
+        size = x.shape[2:]
+        up = lambda t, s: F.interpolate(t, s, mode="bilinear",
+                                        align_corners=False)
+        x = self.block3(self.block2(self.block1(x)))
+        if self.scale <= 8:
+            score_8s = self.score_8s(x)
+        x = self.block4(x)
+        if self.scale <= 16:
+            score_16s = self.score_16s(x)
+        x = self.block5(x)
+        score = self.score_32s(x)
+        if self.scale <= 16:
+            score = score_16s + up(score, score_16s.shape[2:])
+        if self.scale <= 8:
+            score = score_8s + up(score, score_8s.shape[2:])
+        return up(score, size)
