@@ -114,6 +114,11 @@ def main():
     if use_grain and args.mode != "all":
         parser.error("--input-pipeline grain supports --mode all only "
                      "(the compact step builds class+offset targets)")
+    if use_grain and not args.crop_size:
+        # the grain pipeline batches fixed-size random crops; silently
+        # defaulting a crop size would train differently from the
+        # loader path's full-image (no --crop) semantics
+        parser.error("--input-pipeline grain requires --crop-size")
 
     # datasets
     grain_source = None
@@ -233,7 +238,7 @@ def main():
             batches, _ = make_train_pipeline(
                 args.train_img, args.train_ann,
                 batch_size=args.batch_size,
-                crop_size=args.crop_size or 128, scale=args.scale,
+                crop_size=args.crop_size, scale=args.scale,
                 limits=args.limits, seed=args.seed * 10007 + epoch,
                 source=grain_source)
             state, iterations = train_compact(

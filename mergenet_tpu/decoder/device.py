@@ -685,9 +685,12 @@ def _pair_phase(comp2d, cls_lp, size, frozen, log_odds, offsets, M2,
     running sum + the run-compaction sort shrink from E to K.  (A top_k
     pre-compaction was measured SLOWER than the sort it saved: 29 ms at
     E=5.2M/K=512k vs the 15 ms 2-array sort — docs/benchmarks.md.)
-    Edges beyond K are dropped (largest pair keys first; the affected
-    components stop merging but are still emitted); the caller sees the
-    count in `stats` and can fall back to an exact mode.
+    Edges beyond K are dropped (largest pair keys first), and the pair
+    whose edge run straddles the K boundary is dropped WHOLE — a partial
+    run would aggregate corrupted (truncated) oml evidence.  Dropped
+    pairs never merge; their components are still emitted.  The caller
+    sees the total dropped-edge count in `stats` and can fall back to an
+    exact mode.
 
     Returns (total_map (M2,), cls_lp, size, stats) with total_map mapping
     input dense ids to surviving roots and stats a dict of int32 scalars:
@@ -726,19 +729,29 @@ def _pair_phase(comp2d, cls_lp, size, frozen, log_odds, offsets, M2,
     # the key sort doubles as the stream compaction: sentinel (internal)
     # keys sort to the tail, so [:K] keeps all external edges when
     # n_ext <= K and every downstream op runs at K instead of E
+    truncated = n_ext > K
     if packed:
         key_s, oml_s = jax.lax.sort((key, oml), num_keys=1)
         key_s, oml_s = key_s[:K], oml_s[:K]
         dead_s = key_s >= SENT
+        # a pair whose edge run straddles the K boundary would otherwise
+        # keep a PARTIAL oml sum (corrupted aggregated evidence); drop
+        # the whole boundary pair instead — dropped pairs never merge
+        cut = truncated & (key_s == key_s[-1]) & ~dead_s
+        dead_s = dead_s | cut
         first = jnp.concatenate([jnp.ones((1,), bool),
                                  key_s[1:] != key_s[:-1]])
     else:
         lo_s, hi_s, oml_s = jax.lax.sort((lo_all, hi_all, oml), num_keys=2)
         lo_s, hi_s, oml_s = lo_s[:K], hi_s[:K], oml_s[:K]
         dead_s = lo_s >= M2
+        cut = (truncated & (lo_s == lo_s[-1]) & (hi_s == hi_s[-1])
+               & ~dead_s)
+        dead_s = dead_s | cut
         first = jnp.concatenate([
             jnp.ones((1,), bool),
             (lo_s[1:] != lo_s[:-1]) | (hi_s[1:] != hi_s[:-1])])
+    edges_dropped = edges_dropped + jnp.sum(cut.astype(jnp.int32))
     # run detection must NOT mask the sentinel block: masking would fold
     # the sentinels (internal edges) into the last real pair's run and
     # poison its aggregate with interior log-odds
@@ -904,11 +917,13 @@ def decode_hierarchical(class_probs, sameness_probs, num_classes, offsets,
          components — where single-edge evidence can contradict the
          aggregated pair evidence (the fuzzy-seam failure mode) — are
          deliberately excluded and left to stage 4.
-      3. pair dedup: stream-compact the external edges (top_k over the
-         negated scan index, `edge_slots` capacity), then ONE packed int32
-         sort over the compacted edges collapses parallel edges into
-         unique component pairs with summed object-merge logprob (~30x
-         fewer unique pairs than external edges on trained outputs).
+      3. pair dedup: ONE packed int32 key sort doubles as the stream
+         compaction (internal edges carry the sentinel key and sort to
+         the tail; the sorted arrays are sliced to `edge_slots`), then
+         run-differencing of a compensated running sum collapses parallel
+         edges into unique component pairs with summed object-merge
+         logprob (~30x fewer unique pairs than external edges on trained
+         outputs).  See `_pair_phase` for the capacity-overflow policy.
       4. aggregated Boruvka pair rounds on the compact unique-pair arrays —
          the exact merge priority ((Σoml·f + cdl)/den + bias, reference
          `segment.cc:145-150`) drives hook/contract to the same "no

@@ -225,8 +225,12 @@ class Segmenter {
       : C_(num_classes), O_(num_offsets), H_(height), W_(width),
         N_(static_cast<int64_t>(height) * width), opts_(opts) {
     offsets_.assign(offsets, offsets + 2 * num_offsets);
-    // |pixel-id delta| of each offset; unique because offsets are distinct
-    // and never negated pairs (CoreConfig validation)
+    // |pixel-id delta| of each offset.  NOT necessarily unique: distinct
+    // valid offsets can alias to the same |di*W + dj| at small widths
+    // (production CoreConfig offsets with |dj| <= 80 never alias at
+    // W >= 512).  Aliased offsets tile COMPLEMENTARY column windows, so
+    // init still creates each pixel pair at most once; find_record scans
+    // every aliased slot.
     for (int o = 0; o < O_; ++o) {
       int64_t d = static_cast<int64_t>(offsets_[2 * o]) * W_ +
                   offsets_[2 * o + 1];
@@ -320,9 +324,11 @@ class Segmenter {
  private:
   void init_records(const float* sameness_probs, double eps) {
     // Fixed-slot layout: the record for (pixel p, offset o) lives at
-    // o*N + p; out-of-bounds slots stay dead (a = -1).  Offsets are unique
-    // and never negated pairs, so each unordered pixel pair appears at
-    // most one slot.  No adjacency structure is built: a singleton's
+    // o*N + p; out-of-bounds slots stay dead (a = -1).  Each unordered
+    // pixel pair appears at most one slot: offsets are distinct and
+    // never negated pairs (CoreConfig validation), and same-|delta|
+    // aliases (small-W only, see ctor) cover complementary column
+    // windows.  No adjacency structure is built: a singleton's
     // neighbors are enumerated from the offset grid on demand.
     RecHot dead_h;
     dead_h.pri = 0.0;
@@ -388,13 +394,16 @@ class Segmenter {
   // global map of rekeyed records.
   inline int32_t find_record(int32_t a, int32_t b) const {
     const int64_t d = static_cast<int64_t>(b) - a;
+    // check EVERY offset whose flattened delta matches: distinct valid
+    // offsets can alias to the same |di*W + dj| at small widths (e.g.
+    // W=64, (0,-30) vs (1,-34)), so the live record may sit in any of
+    // their implicit slots — no early break on a dead slot
     for (int o = 0; o < O_; ++o) {
       if (deltas_[o] == d || deltas_[o] == -d) {
         const int32_t p = deltas_[o] > 0 ? a : b;
         const int32_t ri = static_cast<int32_t>(o * N_ + p);
         const RecHot& rec = hot_[ri];
         if (rec.a == a && rec.b == b) return ri;
-        break;
       }
     }
     const int32_t ri = map_.find(PairMap::pack(a, b));

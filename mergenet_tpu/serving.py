@@ -26,6 +26,7 @@ import jax.numpy as jnp
 from jax.sharding import PartitionSpec as P
 
 from .decoder.device import decode_hierarchical, relabel_mask
+from .models import probs_at
 
 
 def build_serving_pipeline(model, num_classes, offsets, mesh,
@@ -47,18 +48,7 @@ def build_serving_pipeline(model, num_classes, offsets, mesh,
         x = img[None]
         if dtype is not None:
             x = x.astype(dtype)
-        try:
-            # models with an `output_size` arg (the pyramid/FCN families)
-            # emit logits at the decode size directly, skipping the
-            # full-res logits round trip (~6 ms/frame at 1024x2048)
-            logits = model.apply(variables, x, train=False,
-                                 output_size=(dh, dw))
-            small = jax.nn.sigmoid(logits.astype(jnp.float32))[0]
-        except TypeError:
-            logits = model.apply(variables, x, train=False)
-            probs = jax.nn.sigmoid(logits.astype(jnp.float32))[0]
-            small = jax.image.resize(probs, (dh, dw, probs.shape[-1]),
-                                     "bilinear")
+        small = probs_at(model, variables, x, (dh, dw))[0]
         comp, root_class, is_inst = decode_hierarchical(
             small[..., :num_classes], small[..., num_classes:],
             num_classes, offsets,

@@ -14,6 +14,7 @@ import numpy as np
 
 from ..decoder.device import (decode_on_device, decode_on_device_staged,
                               decode_hierarchical, relabel_mask)
+from ..models import probs_at
 
 
 def build_e2e_infer(model, num_classes, offsets, decode_size=None,
@@ -41,17 +42,7 @@ def build_e2e_infer(model, num_classes, offsets, decode_size=None,
         x = img[None]
         if dtype is not None:
             x = x.astype(dtype)
-        try:
-            # models with output_size emit logits at the decode size
-            # directly (no full-res round trip) — same path as serving.py
-            logits = model.apply(variables, x, train=False,
-                                 output_size=(dh, dw))
-            small = jax.nn.sigmoid(logits.astype(jnp.float32))[0]
-        except TypeError:
-            logits = model.apply(variables, x, train=False)
-            probs = jax.nn.sigmoid(logits.astype(jnp.float32))[0]
-            small = jax.image.resize(probs, (dh, dw, probs.shape[-1]),
-                                     "bilinear")
+        small = probs_at(model, variables, x, (dh, dw))[0]
         cp = small[..., :num_classes]
         sp = small[..., num_classes:]
         kw = dict(same_different_bias=same_different_bias,

@@ -274,6 +274,55 @@ def test_pair_phase_edge_compaction_equivalent():
     assert int(st["edges_dropped"]) == 0
 
 
+@pytest.mark.parametrize("packed", [True, False])
+def test_pair_phase_truncation_drops_boundary_pair_whole(packed):
+    """When edge_slots truncates inside a pair's edge run, the WHOLE
+    boundary pair must be dropped — a partial run would aggregate
+    truncated (corrupted) oml evidence and could merge on it.
+
+    Scene: 4x5 grid, columns [0,0,1,2,2] under offset (0,1) -> pair
+    (0,1) has 4 edges (smaller packed key, sorts first) and pair (1,2)
+    has 4 edges.  All sameness probs are high, so at full capacity BOTH
+    pairs merge.  edge_slots=6 keeps pair (0,1)'s 4 edges plus 2 of
+    pair (1,2)'s: the fix drops pair (1,2) entirely (components 1 and 2
+    stay separate) instead of merging it on 2 of its 4 edges."""
+    from mergenet_tpu.decoder.device import _pair_phase, _log_domain
+
+    H, W, C, M2 = 4, 5, 2, 3
+    offsets = ((0, 1),)
+    col_comp = np.array([0, 0, 1, 2, 2], np.int32)
+    comp2d = jnp.asarray(np.tile(col_comp, (H, 1)))
+    cp = np.full((H, W, C), 0.5, np.float32)
+    cp[..., 1] = 0.9  # one class everywhere -> cdl = 0
+    sp = np.full((H, W, 1), 0.99, np.float32)  # strong merge evidence
+    _, log_odds = _log_domain(jnp.asarray(cp), jnp.asarray(sp), 0.0)
+    comp_flat = np.asarray(comp2d).reshape(-1)
+    cls_lp = jnp.asarray(np.stack([
+        np.log(np.clip(cp, 1.2e-7, 1)).reshape(-1, C)[comp_flat == m].sum(0)
+        for m in range(M2)]))
+    size = jnp.asarray(np.bincount(comp_flat, minlength=M2)
+                       .astype(np.int32))
+    frozen = jnp.zeros((M2,), bool)
+
+    def run(edge_slots):
+        tm, _, _, st = _pair_phase(
+            comp2d, cls_lp, size, frozen, log_odds, offsets, M2,
+            pair_slots=64, pair_rounds=8, den_mode="sum",
+            omf=jnp.float32(1.0), bias=jnp.float32(0.0), packed=packed,
+            edge_slots=edge_slots)
+        return np.asarray(tm), {k: int(v) for k, v in st.items()}
+
+    tm_full, st_full = run(None)
+    assert st_full["n_ext"] == 8 and st_full["edges_dropped"] == 0
+    assert tm_full[0] == tm_full[1] == tm_full[2]  # all merge, full cap
+
+    tm_cut, st_cut = run(6)
+    assert tm_cut[0] == tm_cut[1]       # intact pair (0,1) still merges
+    assert tm_cut[2] != tm_cut[1]       # boundary pair (1,2) dropped whole
+    # 2 edges beyond K + the 2 kept edges of the straddling pair
+    assert st_cut["edges_dropped"] == 4
+
+
 def test_hierarchical_decode_19_classes():
     """Cityscapes-scale class count (C=19 > the 16-class packed-stats
     limit, so the absorption stage runs its per-plane gather path):

@@ -89,6 +89,35 @@ def test_python_cpp_parity_random(den_mode, remerge):
     assert instances_equivalent(mask_py, cls_py, mask_cc, cls_cc)
 
 
+def test_python_cpp_parity_aliased_deltas():
+    """Distinct valid offsets can flatten to the same |di*W + dj| at
+    small widths (W=64: (0,30) vs (1,-34) both give |delta| 30).  The
+    C++ decoder's implicit-slot lookup must check every aliased offset's
+    slot, not stop at the first dead one — a missed live record would
+    split a pair's evidence across duplicate records and diverge from
+    the Python greedy."""
+    W = 64
+    offsets = [(0, 30), (1, -34), (1, 0), (0, 1)]
+    assert 0 * W + 30 == 1 * W - 34  # the alias under test (both +30)
+    rng = np.random.RandomState(3)
+    inst, classes = make_instance_scene(40, W)
+    cp, sp = oracle_probs(inst, classes, NUM_CLASSES, offsets, conf=0.8)
+    cp = np.clip(cp + rng.uniform(-0.2, 0.2, cp.shape),
+                 1e-4, 1 - 1e-4).astype(np.float32)
+    sp = np.clip(sp + rng.uniform(-0.2, 0.2, sp.shape),
+                 1e-4, 1 - 1e-4).astype(np.float32)
+    opts = SegmenterOptions(object_merge_factor=0.25,
+                            merge_logprob_bias=0.01, den_mode="sum",
+                            remerge_mode="eq", do_prune=False)
+    seg = ObjectSegmenter(cp, sp, NUM_CLASSES, offsets, opts)
+    mask_py, cls_py = seg.run_segmentation()
+    mask_cc, cls_cc = csegment.run_segmentation(
+        cp, sp, NUM_CLASSES, offsets, object_merge_factor=0.25,
+        merge_logprob_bias=0.01, den_mode="sum", remerge_mode="eq",
+        do_prune=False)
+    assert instances_equivalent(mask_py, cls_py, mask_cc, cls_cc)
+
+
 def test_cpp_batch(oracle_inputs):
     inst, classes, cp, sp = oracle_inputs
     B = 3
