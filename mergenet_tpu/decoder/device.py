@@ -92,6 +92,44 @@ def _shift2d(x, di, dj, fill):
     return out
 
 
+def _contract(parent, two_cycle_break=True, unroll=False):
+    """Pointer-jump `parent` (1-D int32 forest) to a FIXED POINT
+    (parent[i] == root id for every i) — the shared contraction idiom of
+    every hook-and-contract round and the flood-fill canonicalization.
+
+    `two_cycle_break=True` first resolves mutual hooks a<->b to the
+    smaller id (cycles longer than 2 are impossible under the
+    larger-partner tie-break the hook phases use); pass False when the
+    input is already acyclic with parent[i] <= i (the flood fill's
+    min-scan labels).  ceil(log2 n) squarings always suffice;
+    `unroll=True` emits them as unrolled gathers (cheaper than a
+    while_loop for small n inside already-unrolled round bodies), the
+    default is an early-exit while_loop."""
+    n = parent.shape[0]
+    ids = jnp.arange(n, dtype=parent.dtype)
+    if two_cycle_break:
+        parent = jnp.where((parent[parent] == ids) & (ids < parent), ids,
+                           parent)
+    n_jump = max(1, int(np.ceil(np.log2(max(n, 2)))))
+    if unroll:
+        for _ in range(n_jump):
+            parent = parent[parent]
+        return parent
+
+    def cond(s):
+        p, changed, it = s
+        return changed & (it < n_jump)
+
+    def body(s):
+        p, _, it = s
+        p2 = p[p]
+        return (p2, jnp.any(p2 != p), it + 1)
+
+    parent, _, _ = jax.lax.while_loop(cond, body,
+                                      (parent, jnp.asarray(True), 0))
+    return parent
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("num_classes", "offsets", "den_mode",
@@ -159,27 +197,9 @@ def boruvka_rolls_round(class_probs, sameness_probs, num_classes, offsets,
         consider(jnp.where(partner_bwd >= 0, pri_bwd, NEG_INF), partner_bwd)
 
     hook = best_pri >= 0.0
-    parent = jnp.where(hook, best_partner, pix_id).reshape(-1)
-    # 2-cycle break (cycles longer than 2 are impossible under the
-    # larger-partner tie-break): smaller id becomes the root
+    parent = _contract(jnp.where(hook, best_partner, pix_id).reshape(-1))
+
     ids = jnp.arange(N, dtype=jnp.int32)
-    parent = jnp.where((parent[parent] == ids) & (ids < parent), ids,
-                       parent)
-
-    n_jump_max = max(1, int(np.ceil(np.log2(max(N, 2)))))
-
-    def jump_cond(s):
-        p, changed, it = s
-        return changed & (it < n_jump_max)
-
-    def jump_body(s):
-        p, _, it = s
-        p2 = p[p]
-        return (p2, jnp.any(p2 != p), it + 1)
-
-    parent, _, _ = jax.lax.while_loop(
-        jump_cond, jump_body, (parent, jnp.asarray(True), 0))
-
     label = parent.reshape(H, W)
     n_comp = jnp.sum((parent == ids).astype(jnp.int32))
     n_ext = jnp.zeros((), jnp.int32)
@@ -317,29 +337,48 @@ def _flood_fill(argmax_pix, log_odds, offsets, den_mode, omf, bias,
                 label = scan_axis(label, h_links[0], h_links[1], 1)
             if v_links is not None:
                 label = scan_axis(label, v_links[0], v_links[1], 0)
-        # canonicalize to a FIXED POINT (flat[flat] == flat).  The
-        # min-scans guarantee label[p] <= p, so pointer doubling strictly
-        # contracts every chain and self-roots all labels in at most
-        # ceil(log2 N) squarings; a fixed number of passes does NOT
-        # suffice (scan sweeps can leave chains longer than 4), and the
-        # densify stages' `is_rep = (flat == arange)` representative test
-        # silently conflates components on non-self-rooted labels.
-        flat = label.reshape(-1)
-        n_jump = max(1, int(np.ceil(np.log2(max(N, 2)))))
-
-        def jcond(s):
-            p, changed, it = s
-            return changed & (it < n_jump)
-
-        def jbody(s):
-            p, _, it = s
-            p2 = p[p]
-            return (p2, jnp.any(p2 != p), it + 1)
-
-        flat, _, _ = jax.lax.while_loop(jcond, jbody,
-                                        (flat, jnp.asarray(True), 0))
-        label = flat.reshape(H, W)
+        # canonicalize to a FIXED POINT (flat[flat] == flat).  A fixed
+        # number of passes does NOT suffice (scan sweeps can leave
+        # chains longer than 4), and the densify stages'
+        # `is_rep = (flat == arange)` representative test silently
+        # conflates components on non-self-rooted labels.  The min-scans
+        # guarantee label[p] <= p (acyclic), so no 2-cycle break needed.
+        label = _contract(label.reshape(-1),
+                          two_cycle_break=False).reshape(H, W)
     return label
+
+
+def _densify_stats(label, cls_lp_pix, M):
+    """Densify root-pixel labels to component ids in [0, M) and aggregate
+    per-component stats — the shared epilogue of every decode entry.
+
+    `label` (H, W) must hold root PIXEL ids with the self-rooted property
+    label.flat[root] == root (true for arange, for `_flood_fill`'s
+    fixed-point canonicalization, and for the documented initial_labels /
+    `boruvka_rolls_round` contract) — so the representative test is a
+    compare, not an N-sized scatter.  Components beyond capacity all
+    clamp into slot M-1, which is frozen (a one-element scatter instead
+    of an N-sized segment_max; measured 7 ms at N=512k).  Sizes come
+    from a ones column fused into the class-logprob segment_sum (counts
+    < 2^24 are exact in f32).
+
+    Returns (comp2d (H,W) int32, cls_lp (M,C), size (M,) int32,
+    frozen (M,) bool, n_comp_total scalar int32 incl. overflow)."""
+    H, W = label.shape
+    C = cls_lp_pix.shape[-1]
+    N = H * W
+    flat = label.reshape(-1).astype(jnp.int32)
+    is_rep = (flat == jnp.arange(N, dtype=flat.dtype)).astype(jnp.int32)
+    dense = (jnp.cumsum(is_rep) - 1).astype(jnp.int32)  # rep pix -> dense
+    comp_of_pix = jnp.minimum(dense[flat], M - 1)
+    agg = jax.ops.segment_sum(
+        jnp.concatenate([cls_lp_pix.reshape(N, C),
+                         jnp.ones((N, 1), jnp.float32)], axis=1),
+        comp_of_pix, num_segments=M)
+    n_comp_total = dense[N - 1] + 1
+    frozen = jnp.zeros((M,), bool).at[M - 1].set(n_comp_total > M)
+    return (comp_of_pix.reshape(H, W), agg[:, :C],
+            agg[:, C].astype(jnp.int32), frozen, n_comp_total)
 
 
 @functools.partial(
@@ -370,7 +409,11 @@ def decode_on_device(class_probs, sameness_probs, num_classes, offsets,
         max_components: capacity of the component arrays after phase 1
             (default: all pixels — exact; set ~N/4 for speed at full res).
         max_edges: capacity of the compacted external-edge arrays
-            (default: all edges — exact).
+            (default: all edges — exact).  On overflow, excess INITIAL
+            component pairs are dropped whole (largest pair keys first,
+            incl. the pair straddling the capacity boundary) so no pair
+            ever contributes a truncated partial oml sum to the rounds;
+            dropped pairs never merge directly.
         ccl_sweeps: row+column segmented-scan sweeps in phase 1.  Default
             0: flooding is an opt-in accelerator — per-edge flooding is
             exact on confident (oracle-like) inputs but can irreversibly
@@ -423,25 +466,7 @@ def decode_on_device(class_probs, sameness_probs, num_classes, offsets,
         label = _flood_fill(argmax_pix, log_odds, offsets, den_mode, omf,
                             bias, ccl_sweeps, ccl_margin)
 
-    # densify component ids to [0, M).  Labels are root pixel ids with
-    # label[root] == root (true for arange, for the flood fill — the
-    # min-scan gives every component its min pixel id, whose own label is
-    # itself — and for the documented initial_labels contract), so the
-    # representative test is a compare, not an N-sized scatter.
-    flat = label.reshape(-1)
-    is_rep = (flat == jnp.arange(N, dtype=flat.dtype)).astype(jnp.int32)
-    dense = (jnp.cumsum(is_rep) - 1).astype(jnp.int32)  # rep pixel -> dense
-    comp_clamped = jnp.minimum(dense[flat], M - 1)
-    comp2d = comp_clamped.reshape(H, W)
-
-    # fused stats + one-element frozen scatter (see decode_hierarchical)
-    agg = jax.ops.segment_sum(
-        jnp.concatenate([cls_lp_pix.reshape(N, C),
-                         jnp.ones((N, 1), jnp.float32)], axis=1),
-        comp_clamped, num_segments=M)
-    cls_lp = agg[:, :C]
-    size = agg[:, C].astype(jnp.int32)
-    frozen = jnp.zeros((M,), bool).at[M - 1].set(dense[N - 1] + 1 > M)
+    comp2d, cls_lp, size, frozen, _ = _densify_stats(label, cls_lp_pix, M)
 
     # ---------------- phase 2: edge compaction ----------------
     rows = jnp.arange(H)[:, None]
@@ -462,18 +487,45 @@ def decode_on_device(class_probs, sameness_probs, num_classes, offsets,
     ext = jnp.concatenate(ext_list)
     E_all = int(ea.shape[0])
     K = E_all if max_edges is None else min(max_edges, E_all)
-    # front-sort external edge INDICES (2-array sort instead of carrying
-    # three payloads through the full E-sized sort), then gather the kept K
-    flag = jnp.where(ext, 0, 1).astype(jnp.int32)
+    # front-sort external edge INDICES by PAIR KEY (sentinel for internal
+    # edges) instead of a bare flag: same 2-array sort cost, but kept
+    # edges become pair-contiguous, so a max_edges cut can drop the pair
+    # straddling the K boundary WHOLE (a partial run would contribute
+    # truncated oml evidence to every later round — same policy as
+    # _pair_phase).  Pairs wholly beyond K are dropped (largest keys
+    # first); a pair whose run ends exactly at K is complete and kept.
     eidx = jnp.arange(E_all, dtype=jnp.int32)
-    flag_s, kept = jax.lax.sort((flag, eidx), num_keys=1)
-    kept = kept[:K]
+    elo = jnp.minimum(ea, eb)
+    ehi = jnp.maximum(ea, eb)
+    if K == E_all:
+        # no cap -> no truncation possible; the cheap flag front-sort
+        # (2 int32 arrays) suffices
+        flag = jnp.where(ext, 0, 1).astype(jnp.int32)
+        flag_s, kept = jax.lax.sort((flag, eidx), num_keys=1)
+        e_live = flag_s == 0
+    elif (M + 1) * (M + 1) - 1 <= 2 ** 31 - 1:
+        ekey = jnp.where(ext, elo * (M + 1) + ehi, (M + 1) * (M + 1) - 1)
+        ekey_s, kept = jax.lax.sort((ekey, eidx), num_keys=1)
+        straddles = (ekey_s[K] == ekey_s[K - 1]) if K < E_all \
+            else jnp.asarray(False)
+        ekey_s, kept = ekey_s[:K], kept[:K]
+        e_live = ekey_s < (M + 1) * (M + 1) - 1
+        e_live &= ~(straddles & (ekey_s == ekey_s[-1]))
+    else:
+        eklo = jnp.where(ext, elo, M)
+        ekhi = jnp.where(ext, ehi, M)
+        eklo_s, ekhi_s, kept = jax.lax.sort((eklo, ekhi, eidx), num_keys=2)
+        straddles = ((eklo_s[K] == eklo_s[K - 1]) &
+                     (ekhi_s[K] == ekhi_s[K - 1])) if K < E_all \
+            else jnp.asarray(False)
+        eklo_s, ekhi_s, kept = eklo_s[:K], ekhi_s[:K], kept[:K]
+        e_live = eklo_s < M
+        e_live &= ~(straddles & (eklo_s == eklo_s[-1]) &
+                    (ekhi_s == ekhi_s[-1]))
     ea, eb, eo = ea[kept], eb[kept], eo[kept]
-    e_live = flag_s[:K] == 0
 
     # ---------------- phase 3: Boruvka rounds ----------------
     comp_ids = jnp.arange(M, dtype=jnp.int32)
-    n_jump_max = max(1, int(np.ceil(np.log2(max(M, 2)))))
 
     def round_body(state):
         ea, eb, total_map, cls_lp, size, frozen, _, rounds = state
@@ -535,25 +587,8 @@ def decode_on_device(class_probs, sameness_probs, num_classes, offsets,
                                 num_segments=M))
 
         has_pos = comp_best >= tau
-        parent = jnp.where(has_pos & (partner >= 0),
-                           jnp.maximum(partner, 0), comp_ids)
-        grandparent = parent[parent]
-        parent = jnp.where((grandparent == comp_ids) & (comp_ids < parent),
-                           comp_ids, parent)
-
-        # adaptive pointer jumping (tie-break guarantees 2-cycles only)
-        def jump_cond(s):
-            p, changed, it = s
-            return changed & (it < n_jump_max)
-
-        def jump_body(s):
-            p, _, it = s
-            p2 = p[p]
-            return (p2, jnp.any(p2 != p), it + 1)
-
-        parent, _, _ = jax.lax.while_loop(
-            jump_cond, jump_body, (parent, jnp.asarray(True), 0))
-
+        parent = _contract(jnp.where(has_pos & (partner >= 0),
+                                     jnp.maximum(partner, 0), comp_ids))
         dying = parent != comp_ids
         contrib = jnp.where(dying[:, None], cls_lp, 0.0)
         cls_lp = cls_lp.at[parent].add(contrib)
@@ -685,18 +720,19 @@ def _pair_phase(comp2d, cls_lp, size, frozen, log_odds, offsets, M2,
     running sum + the run-compaction sort shrink from E to K.  (A top_k
     pre-compaction was measured SLOWER than the sort it saved: 29 ms at
     E=5.2M/K=512k vs the 15 ms 2-array sort — docs/benchmarks.md.)
-    Edges beyond K are dropped (largest pair keys first), and the pair
-    whose edge run straddles the K boundary is dropped WHOLE — a partial
-    run would aggregate corrupted (truncated) oml evidence.  Dropped
-    pairs never merge; their components are still emitted.  The caller
-    sees the total dropped-edge count in `stats` and can fall back to an
-    exact mode.
+    Edges beyond K are dropped (largest pair keys first).  A pair whose
+    edge run STRADDLES the K boundary is dropped WHOLE — a partial run
+    would aggregate corrupted (truncated) oml evidence; a pair whose run
+    ends exactly at K is complete and kept.  Dropped pairs never merge;
+    their components are still emitted.  The caller sees the total
+    dropped-edge count in `stats` and can fall back to an exact mode.
 
     Returns (total_map (M2,), cls_lp, size, stats) with total_map mapping
     input dense ids to surviving roots and stats a dict of int32 scalars:
     n_ext (external edges), edges_dropped (beyond edge_slots),
     pairs_total (unique component pairs among kept edges), pairs_dropped
-    (beyond pair_slots)."""
+    (beyond the USABLE capacity pair_slots - 1 — the last slot is the
+    overflow clamp)."""
     f32 = jnp.float32
     P = M2 + 1
     SENT = P * P - 1 if packed else None  # > any real key; int32-safe
@@ -729,23 +765,28 @@ def _pair_phase(comp2d, cls_lp, size, frozen, log_odds, offsets, M2,
     # the key sort doubles as the stream compaction: sentinel (internal)
     # keys sort to the tail, so [:K] keeps all external edges when
     # n_ext <= K and every downstream op runs at K instead of E
-    truncated = n_ext > K
     if packed:
         key_s, oml_s = jax.lax.sort((key, oml), num_keys=1)
+        # a pair whose edge run STRADDLES the K boundary (same key on
+        # both sides of the cut) would otherwise keep a PARTIAL oml sum
+        # (corrupted aggregated evidence); drop the whole boundary pair.
+        # A pair whose run ends exactly at K is complete and is kept —
+        # the straddle test needs the pre-slice key at index K.
+        straddles = (key_s[K] == key_s[K - 1]) if K < E_all \
+            else jnp.asarray(False)
         key_s, oml_s = key_s[:K], oml_s[:K]
         dead_s = key_s >= SENT
-        # a pair whose edge run straddles the K boundary would otherwise
-        # keep a PARTIAL oml sum (corrupted aggregated evidence); drop
-        # the whole boundary pair instead — dropped pairs never merge
-        cut = truncated & (key_s == key_s[-1]) & ~dead_s
+        cut = straddles & (key_s == key_s[-1]) & ~dead_s
         dead_s = dead_s | cut
         first = jnp.concatenate([jnp.ones((1,), bool),
                                  key_s[1:] != key_s[:-1]])
     else:
         lo_s, hi_s, oml_s = jax.lax.sort((lo_all, hi_all, oml), num_keys=2)
+        straddles = ((lo_s[K] == lo_s[K - 1]) & (hi_s[K] == hi_s[K - 1])) \
+            if K < E_all else jnp.asarray(False)
         lo_s, hi_s, oml_s = lo_s[:K], hi_s[:K], oml_s[:K]
         dead_s = lo_s >= M2
-        cut = (truncated & (lo_s == lo_s[-1]) & (hi_s == hi_s[-1])
+        cut = (straddles & (lo_s == lo_s[-1]) & (hi_s == hi_s[-1])
                & ~dead_s)
         dead_s = dead_s | cut
         first = jnp.concatenate([
@@ -795,7 +836,6 @@ def _pair_phase(comp2d, cls_lp, size, frozen, log_odds, offsets, M2,
 
     # ---- aggregated Boruvka pair rounds ----
     ids2 = jnp.arange(M2, dtype=jnp.int32)
-    n_jump2 = max(1, int(np.ceil(np.log2(max(M2, 2)))))
 
     def pair_round(state):
         plo, phi, poml, total_map, cls_lp, size, _, r = state
@@ -850,12 +890,9 @@ def _pair_phase(comp2d, cls_lp, size, frozen, log_odds, offsets, M2,
                                 num_segments=M2),
             jax.ops.segment_max(jnp.where(elig_hi, lo_c, -1), hi_c,
                                 num_segments=M2))
-        parent = jnp.where((comp_best >= 0.0) & (partner >= 0),
-                           jnp.maximum(partner, 0), ids2)
-        parent = jnp.where((parent[parent] == ids2) & (ids2 < parent),
-                           ids2, parent)
-        for _ in range(n_jump2):
-            parent = parent[parent]
+        parent = _contract(jnp.where((comp_best >= 0.0) & (partner >= 0),
+                                     jnp.maximum(partner, 0), ids2),
+                           unroll=True)
         dying = parent != ids2
         cls_lp = cls_lp.at[parent].add(
             jnp.where(dying[:, None], cls_lp, 0.0))
@@ -932,9 +969,10 @@ def decode_hierarchical(class_probs, sameness_probs, num_classes, offsets,
     Capacity overflow: COMPONENTS beyond `max_components`/
     `pair_components` freeze — they never merge and fold into background
     at output (under-segmentation beats garbage instances).  EDGES beyond
-    `edge_slots` and unique PAIRS beyond `pair_slots` are dropped: the
-    affected components stop merging but are still emitted (possibly
-    fragmented).  Every overflow is counted; pass `return_stats=True` to
+    `edge_slots` and unique PAIRS beyond `pair_slots - 1` (one slot is
+    reserved as the overflow clamp) are dropped: the affected components
+    stop merging but are still emitted (possibly fragmented).  Every
+    overflow is counted; pass `return_stats=True` to
     get a dict of int32 scalars (n_ext, edges_dropped, pairs_total,
     pairs_dropped, n_frozen) as a 4th output so serving can detect an
     over-budget scene and fall back to the exact mode
@@ -971,27 +1009,10 @@ def decode_hierarchical(class_probs, sameness_probs, num_classes, offsets,
     # ---- stage 1: flood + densify to M ----
     label = _flood_fill(argmax_pix, log_odds, offsets, den_mode, omf, bias,
                         ccl_sweeps, ccl_margin)
-    flat = label.reshape(-1)
-    is_rep = (flat == jnp.arange(N, dtype=flat.dtype)).astype(jnp.int32)
-    dense = (jnp.cumsum(is_rep) - 1).astype(jnp.int32)
-    comp_of_pix = jnp.minimum(dense[flat], M - 1)
-    comp2d = comp_of_pix.reshape(H, W)
-    # one fused segment_sum: class logprobs + a ones column for sizes
-    # (counts < 2^24 are exact in f32); overflowed components all clamp
-    # into slot M-1, so `frozen` is a one-element scatter, not an N-sized
-    # segment_max (measured 7 ms at N=512k)
-    agg = jax.ops.segment_sum(
-        jnp.concatenate([cls_lp_pix.reshape(N, C),
-                         jnp.ones((N, 1), jnp.float32)], axis=1),
-        comp_of_pix, num_segments=M)
-    cls_lp = agg[:, :C]
-    size = agg[:, C].astype(jnp.int32)
-    n_comp_total = dense[N - 1] + 1
-    frozen = jnp.zeros((M,), bool).at[M - 1].set(n_comp_total > M)
+    comp2d, cls_lp, size, frozen, _ = _densify_stats(label, cls_lp_pix, M)
 
     # ---- stage 2: absorption rounds on the grid ----
     ids = jnp.arange(M, dtype=jnp.int32)
-    n_jump = max(1, int(np.ceil(np.log2(max(M, 2)))))
     pack_stats = num_classes <= 16  # argcls in 4 bits, size < 2^26
     if pack_stats and absorb_thetas:
         from ..ops.pallas.absorb import absorb_best_edges, \
@@ -1085,11 +1106,8 @@ def decode_hierarchical(class_probs, sameness_probs, num_classes, offsets,
             partner = jax.ops.segment_max(
                 jnp.where(elig, partner_f, -1), own_f, num_segments=M)
             hook = (comp_best >= f32(theta)) & (partner >= 0)
-        parent = jnp.where(hook, jnp.maximum(partner, 0), ids)
-        parent = jnp.where((parent[parent] == ids) & (ids < parent), ids,
-                           parent)
-        for _ in range(n_jump):
-            parent = parent[parent]
+        parent = _contract(jnp.where(hook, jnp.maximum(partner, 0), ids),
+                           unroll=True)
         dying = parent != ids
         cls_lp = cls_lp.at[parent].add(
             jnp.where(dying[:, None], cls_lp, 0.0))
@@ -1181,23 +1199,11 @@ def _pair_exact_finish(class_probs, sameness_probs, num_classes, offsets,
     bias = f32(merge_logprob_bias)
     cls_lp_pix, log_odds = _log_domain(class_probs, sameness_probs,
                                        same_different_bias)
-    flat = initial_labels.reshape(-1).astype(jnp.int32)
-    is_rep = (flat == jnp.arange(N, dtype=flat.dtype)).astype(jnp.int32)
-    dense = (jnp.cumsum(is_rep) - 1).astype(jnp.int32)
-    raw = dense[flat]
-    comp_of_pix = jnp.minimum(raw, M2 - 1)
-    comp2d = comp_of_pix.reshape(H, W)
-    agg = jax.ops.segment_sum(
-        jnp.concatenate([cls_lp_pix.reshape(N, C),
-                         jnp.ones((N, 1), jnp.float32)], axis=1),
-        comp_of_pix, num_segments=M2)
-    cls_lp = agg[:, :C]
-    size = agg[:, C].astype(jnp.int32)
-    # the caller guarantees capacity; if it is ever violated, freeze the
-    # clamp slot (where all overflow collapses) instead of emitting a
-    # garbage merged instance
-    frozen = jnp.zeros((M2,), bool).at[M2 - 1].set(
-        jnp.any(raw >= M2))
+    # the caller guarantees capacity; if it is ever violated,
+    # _densify_stats freezes the clamp slot (where all overflow
+    # collapses) instead of emitting a garbage merged instance
+    comp2d, cls_lp, size, frozen, _ = _densify_stats(
+        initial_labels, cls_lp_pix, M2)
 
     packed = (M2 + 1) * (M2 + 1) - 1 <= 2 ** 31 - 1
     total_map, cls_lp, size, _ = _pair_phase(
@@ -1325,6 +1331,12 @@ def run_segmentation_device(class_probs, sameness_probs, num_classes,
                  merge_logprob_bias=merge_logprob_bias, den_mode=den_mode)
     stats = None
     if mode == "hier":
+        if max_components is not None or max_edges is not None:
+            raise ValueError(
+                "mode='hier' runs decode_hierarchical's static serving "
+                "configuration and would ignore max_components/"
+                "max_edges; drop the caps, or drop mode='hier' to select "
+                "the capped single-pass decode_on_device")
         label, root_class, is_inst, stats = decode_hierarchical(
             cp, sp, num_classes, offsets, do_prune=do_prune,
             prune_threshold=prune_threshold, return_stats=True, **hyper)

@@ -322,6 +322,47 @@ def test_pair_phase_truncation_drops_boundary_pair_whole(packed):
     # 2 edges beyond K + the 2 kept edges of the straddling pair
     assert st_cut["edges_dropped"] == 4
 
+    # a cut landing EXACTLY on a pair boundary keeps the complete last
+    # pair: K=4 holds all of pair (0,1)'s edges, pair (1,2) lies wholly
+    # beyond K
+    tm_exact, st_exact = run(4)
+    assert tm_exact[0] == tm_exact[1]   # complete pair still merges
+    assert tm_exact[2] != tm_exact[1]
+    assert st_exact["edges_dropped"] == 4  # pair (1,2)'s 4 edges only
+
+
+def test_decode_on_device_max_edges_whole_pair_policy():
+    """decode_on_device's max_edges overflow drops initial pairs WHOLE
+    (same policy as _pair_phase): a truncated pair must not merge on a
+    partial oml sum.  Same 3-component scene as the _pair_phase test,
+    injected via initial_labels."""
+    from mergenet_tpu.decoder.device import decode_on_device
+
+    H, W, C = 4, 5, 2
+    offsets = ((0, 1),)
+    # root-pixel labels: cols {0,1} -> root 0, col {2} -> root 2,
+    # cols {3,4} -> root 3 (self-rooted: label.flat[root] == root)
+    col_root = np.array([0, 0, 2, 3, 3], np.int32)
+    labels = jnp.asarray(np.tile(col_root, (H, 1)))
+    cp = np.full((H, W, C), 0.5, np.float32)
+    cp[..., 1] = 0.9
+    sp = np.full((H, W, 1), 0.99, np.float32)
+
+    def comps(max_edges):
+        comp, _, _ = decode_on_device(
+            jnp.asarray(cp), jnp.asarray(sp), C, offsets,
+            object_merge_factor=1.0, merge_logprob_bias=0.0,
+            initial_labels=labels, max_edges=max_edges)
+        return np.asarray(comp)
+
+    full = comps(None)
+    assert full[0, 0] == full[0, 2] == full[0, 4]  # everything merges
+
+    for k in (6, 4):  # straddling cut / exact-boundary cut
+        c = comps(k)
+        assert c[0, 0] == c[0, 2]       # pair (0,1) intact -> merges
+        assert c[0, 4] != c[0, 2], k    # pair (1,2) dropped whole
+
 
 def test_hierarchical_decode_19_classes():
     """Cityscapes-scale class count (C=19 > the 16-class packed-stats
