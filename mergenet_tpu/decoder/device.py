@@ -934,7 +934,7 @@ def decode_hierarchical(class_probs, sameness_probs, num_classes, offsets,
                         absorb_size_cap=64,
                         max_components=65536, pair_components=8192,
                         pair_slots=16384, pair_rounds=64,
-                        edge_slots=524288,
+                        edge_slots=2621440,
                         do_prune=False, prune_threshold=200.0,
                         return_stats=False):
     """Single-dispatch hierarchical decode tuned for serving throughput.
@@ -977,9 +977,15 @@ def decode_hierarchical(class_probs, sameness_probs, num_classes, offsets,
     pairs_dropped, n_frozen) as a 4th output so serving can detect an
     over-budget scene and fall back to the exact mode
     (`run_segmentation_device`).  Capacities are pure budgets: below them
-    the result is bit-identical to unbounded capacities (the defaults
-    hold ~25x headroom over measured trained-output scenes at 512x1024:
-    n_ext ~216k vs edge_slots 512k, ~650 unique pairs vs pair_slots 16k).
+    the result is bit-identical to unbounded capacities.  The defaults
+    are sized for NATIVE 512x1024 trained outputs, where long fuzzy
+    boundaries under the far offsets make most of the edge mass external:
+    measured n_ext 1.7-2.0M (vs edge_slots 2.56M) with only ~10-130
+    unique pairs (vs pair_slots 16k) on the certification val set.
+    (Round-2's 512k edge budget was sized on upscaled-from-256x512
+    fixtures with n_ext ~216k and silently dropped ~70% of the edges at
+    native resolution — AP 0.0005; the certification pipeline exists to
+    catch exactly this.)
 
     The DEFAULTS are the certified serving configuration: mask-AP parity
     with the C++ greedy (measured ahead) on trained PSPFPNet outputs
