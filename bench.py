@@ -7,13 +7,16 @@ Prints ONE JSON line:
   {"metric": "...", "value": N, "unit": "fps", "vs_baseline": N}
 
 Methodology: the net stage is timed on a full-res input; the decode stage
-— whose cost is data-dependent — is timed on a probability scene whose
-statistics are calibrated to MEASURED trained-model outputs
-(`_trained_stats_scene`; an untrained net's random outputs are a
-near-worst case and say nothing about deployment).  The decode
-configuration is the certified serving one: the same `decode_hierarchical`
-defaults that beat the C++ greedy's mask AP on real trained-model outputs
-(tests/test_decoder_certification.py, docs/benchmarks.md).
+— whose cost is data-dependent — is timed on a COMMITTED certification
+fixture (a real trained-PSPFPNet output at the native 512x1024 decode
+size, tests/fixtures/certification512) so the benchmark workload is
+exactly the one the quality certification measured; when fixtures are
+absent it falls back to a synthetic scene calibrated to measured
+trained-output statistics (`_trained_stats_scene`; an untrained net's
+random outputs are a near-worst case and say nothing about deployment).
+The decode configuration is the certified serving one: the same
+`decode_hierarchical` defaults the certification gates on
+(tests/test_certification_512.py, docs/benchmarks.md).
 fps = 1 / (t_net + t_decode).  All timing transfers only scalars (on this
 relay backend, block_until_ready does not synchronize — only transfers
 do).
@@ -112,6 +115,29 @@ def _trained_stats_scene(DH, DW, num_classes, offsets, seed=0):
             np.clip(sp, 1e-4, 1 - 1e-4).astype(np.float32))
 
 
+def _fixture_scene():
+    """Committed certification fixture: a REAL trained-PSPFPNet output at
+    the native 512x1024 decode size (tests/fixtures/certification512,
+    written by scripts/make_certification_fixtures.py).  Preferred over
+    the synthetic calibrated scene — the decode benchmark then runs on
+    exactly the workload the quality certification measured.  Returns
+    (cp, sp, offsets) or None when fixtures are not generated."""
+    import os
+    fix = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                       "tests", "fixtures", "certification512")
+    if not os.path.isdir(fix):
+        return None
+    ids = sorted(int(f.split("_")[1].split(".")[0])
+                 for f in os.listdir(fix) if f.startswith("probs_"))
+    if not ids or not os.path.exists(os.path.join(fix, "offsets.npy")):
+        return None
+    d = np.load(os.path.join(fix, "probs_%d.npz" % ids[0]))
+    offsets = tuple(tuple(int(x) for x in o)
+                    for o in np.load(os.path.join(fix, "offsets.npy")))
+    return (d["cp"].astype(np.float32), d["sp"].astype(np.float32),
+            offsets)
+
+
 def main():
     import os
 
@@ -136,6 +162,13 @@ def main():
     H, W = 1024, 2048            # full-res input
     DH, DW = 512, 1024           # decode size (reference segment.py:93)
 
+    fixture = _fixture_scene()
+    if fixture is not None:
+        cp_np, sp_np, offsets = fixture
+        DH, DW = cp_np.shape[:2]
+        num_classes = cp_np.shape[-1]
+        num_offsets = len(offsets)
+
     model = get_model(num_classes, num_offsets, "pspfpnet")
     params, batch_stats = init_model(model, jax.random.PRNGKey(0),
                                      (1, 256, 256, 3))
@@ -158,8 +191,8 @@ def main():
     @jax.jit
     def decode(cp, sp):
         # the CERTIFIED serving configuration (decode_hierarchical
-        # defaults): AP 0.5911 vs C++ greedy 0.5493 on trained-model
-        # outputs at this decode size (tests/test_decoder_certification)
+        # defaults): mask-AP parity with the C++ greedy on native
+        # 512x1024 trained outputs (tests/test_certification_512.py)
         label, root_class, is_inst = decode_hierarchical(
             cp, sp, num_classes, offsets, object_merge_factor=1.0,
             merge_logprob_bias=0.03)
@@ -168,7 +201,10 @@ def main():
 
     x = jnp.asarray(np.random.RandomState(0)
                     .rand(1, H, W, 3).astype(np.float32))
-    cp, sp = _trained_stats_scene(DH, DW, num_classes, offsets)
+    if fixture is not None:
+        cp, sp = cp_np, sp_np
+    else:
+        cp, sp = _trained_stats_scene(DH, DW, num_classes, offsets)
     cp, sp = jnp.asarray(cp), jnp.asarray(sp)
 
     @jax.jit
