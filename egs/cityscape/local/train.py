@@ -94,6 +94,17 @@ best_iou = float('-inf')
 random.seed(0)
 
 
+def _check_catids(parser, train_ids, val_ids):
+    """Train targets are built from the train json's category order, val
+    metrics/targets from the val json's; a silent mismatch would misalign
+    class channels, so fail loudly (both lists include the background 0)."""
+    if train_ids != val_ids:
+        parser.error(
+            "--train-ann and --val-ann disagree on category ids/order "
+            "({} vs {}): training targets and val metrics would use "
+            "different class channels".format(train_ids, val_ids))
+
+
 def main():
     global best_iou
     args = parser.parse_args()
@@ -139,6 +150,7 @@ def main():
                             offset_list, scale=args.scale, mode="train",
                             limits=args.val_limits or args.limits)
         class_nms = valset.catNms
+        _check_catids(parser, trainset.catIds, valset.catIds)
     elif args.mode == "class":
         offset_list = None
         trainset = ClassDataset(args.train_img, args.train_ann,
@@ -148,6 +160,7 @@ def main():
                               mode="train",
                               limits=args.val_limits or args.limits)
         class_nms = trainset.catNms
+        _check_catids(parser, trainset.catIds, valset.catIds)
     else:  # offset
         offset_list = generate_offsets(80 / args.scale, args.num_offsets)
         print("offsets are: {}".format(offset_list))

@@ -35,9 +35,7 @@
 #include <cstdint>
 #include <cstdio>
 #include <limits>
-#include <queue>
 #include <thread>
-#include <unordered_map>
 #include <vector>
 
 namespace {
@@ -294,7 +292,10 @@ class Segmenter {
   }
 
   // Writes instance ids 1..K into mask (H*W int32, 0 = background) and the
-  // per-instance class into object_class (terminated by -1).
+  // per-instance class into object_class (terminated by -1; when all H*W
+  // pixels end as instance roots the buffer is exactly full and no
+  // terminator is written — the ctypes bridge prefills the buffer with -1
+  // and also stops at its end, csegment.py:101,114-117).
   void output(int32_t* mask, int32_t* object_class) {
     std::vector<int32_t> inst(N_, 0);
     int32_t k = 1;
@@ -305,7 +306,7 @@ class Segmenter {
         ++k;
       }
     }
-    object_class[k - 1] = -1;
+    if (k - 1 < N_) object_class[k - 1] = -1;
     for (int64_t p = 0; p < N_; ++p) mask[p] = inst[find(static_cast<int32_t>(p))];
   }
 

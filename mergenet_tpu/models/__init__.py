@@ -28,8 +28,12 @@ VALID_ARCHS = (
 
 
 def get_model(num_classes, num_offsets, arch, pretrain=False,
-              axis_name=None, dtype=None, verbose=True):
+              axis_name=None, dtype=None, verbose=True, **model_kwargs):
     """Build a model by arch string; returns a Flax module.
+
+    Extra `model_kwargs` pass through to the arch's constructor (e.g.
+    `ref_head=True` on the vgg16 archs for exact forward parity with
+    imported reference FCN-VGG16 checkpoints, models/fcn.py).
 
     `dtype` selects the compute precision (e.g. jnp.bfloat16 for
     mixed-precision training — params and BN stats stay float32, logits are
@@ -47,30 +51,30 @@ def get_model(num_classes, num_offsets, arch, pretrain=False,
     num_outputs = num_classes + num_offsets
     if arch == "unet":
         model = UNet(num_classes, num_offsets, axis_name=axis_name,
-                     dtype=dtype)
+                     dtype=dtype, **model_kwargs)
     elif arch == "unet_small":
         # lightweight variant for smoke tests and quick experiments
         model = UNet(num_classes, num_offsets, depth=3, start_filts=8,
-                     axis_name=axis_name, dtype=dtype)
+                     axis_name=axis_name, dtype=dtype, **model_kwargs)
     elif "vgg16" in arch:
         scale = int(arch.split("_")[0][3:])
         model = FCNVGG16(num_outputs, scale=scale, axis_name=axis_name,
-                         dtype=dtype)
+                         dtype=dtype, **model_kwargs)
     elif arch.startswith("fcn"):
         names = arch.split("_")
         scale = int(names[0][3:])
         layer = int(names[1][6:])
         model = FCNResNet(num_outputs, scale=scale, layer=layer,
-                          axis_name=axis_name, dtype=dtype)
+                          axis_name=axis_name, dtype=dtype, **model_kwargs)
     elif "fpnet" in arch:
         model = PSPFPNet(num_outputs, layer=50, fpn_dim=256,
-                         axis_name=axis_name, dtype=dtype)
+                         axis_name=axis_name, dtype=dtype, **model_kwargs)
     elif arch == "pspnet":
         model = PSPNet(num_outputs, layer=101, axis_name=axis_name,
-                       dtype=dtype)
+                       dtype=dtype, **model_kwargs)
     elif arch == "upernet":
         model = UperNet(num_outputs, layer=50, fpn_dim=512,
-                        axis_name=axis_name, dtype=dtype)
+                        axis_name=axis_name, dtype=dtype, **model_kwargs)
     return model
 
 

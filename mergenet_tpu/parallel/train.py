@@ -89,6 +89,46 @@ def _split_loss(logits, targets, num_classes, num_offsets, alpha,
     return total, cls_loss, ofs_loss
 
 
+def _grad_step(state, img, target, rng, num_classes, num_offsets, alpha,
+               criterion_cls, criterion_ofs, remat, aux_weight):
+    """Shared forward/loss/grad body of both train-step builders:
+    value_and_grad of the (optionally aux-supervised) split objective,
+    apply gradients + batch_stats, return (new_state, metrics)."""
+
+    def forward(params, img):
+        kwargs = {"with_aux": True} if aux_weight else {}
+        return state.apply_fn(
+            {"params": params, "batch_stats": state.batch_stats},
+            img, train=True, mutable=["batch_stats"],
+            rngs={"dropout": rng}, **kwargs)
+
+    if remat:
+        forward = jax.checkpoint(forward)
+
+    def loss_fn(params):
+        outs, updates = forward(params, img)
+        aux_l = jnp.zeros((), jnp.float32)
+        if aux_weight:
+            outs, aux = outs
+            aux_l, _, _ = _split_loss(
+                aux, target, num_classes, num_offsets, alpha,
+                criterion_cls, criterion_ofs)
+        total, cls_l, ofs_l = _split_loss(
+            outs, target, num_classes, num_offsets, alpha,
+            criterion_cls, criterion_ofs)
+        total = total + aux_weight * aux_l
+        return total, (cls_l, ofs_l, aux_l, updates)
+
+    (total, (cls_l, ofs_l, aux_l, updates)), grads = jax.value_and_grad(
+        loss_fn, has_aux=True)(state.params)
+    new_state = state.apply_gradients(
+        grads, updates.get("batch_stats", state.batch_stats))
+    metrics = {"loss": total, "cls_loss": cls_l, "ofs_loss": ofs_l}
+    if aux_weight:
+        metrics["aux_loss"] = aux_l
+    return new_state, metrics
+
+
 def build_train_step(num_classes, num_offsets, alpha=1.0,
                      criterion_cls=bce_with_logits_loss,
                      criterion_ofs=bce_with_logits_loss,
@@ -108,38 +148,9 @@ def build_train_step(num_classes, num_offsets, alpha=1.0,
     """
 
     def step(state, img, target, rng):
-        def forward(params, img):
-            kwargs = {"with_aux": True} if aux_weight else {}
-            return state.apply_fn(
-                {"params": params, "batch_stats": state.batch_stats},
-                img, train=True, mutable=["batch_stats"],
-                rngs={"dropout": rng}, **kwargs)
-
-        if remat:
-            forward = jax.checkpoint(forward)
-
-        def loss_fn(params):
-            outs, updates = forward(params, img)
-            aux_l = jnp.zeros((), jnp.float32)
-            if aux_weight:
-                outs, aux = outs
-                aux_l, _, _ = _split_loss(
-                    aux, target, num_classes, num_offsets, alpha,
-                    criterion_cls, criterion_ofs)
-            total, cls_l, ofs_l = _split_loss(
-                outs, target, num_classes, num_offsets, alpha,
-                criterion_cls, criterion_ofs)
-            total = total + aux_weight * aux_l
-            return total, (cls_l, ofs_l, aux_l, updates)
-
-        (total, (cls_l, ofs_l, aux_l, updates)), grads = jax.value_and_grad(
-            loss_fn, has_aux=True)(state.params)
-        new_state = state.apply_gradients(
-            grads, updates.get("batch_stats", state.batch_stats))
-        metrics = {"loss": total, "cls_loss": cls_l, "ofs_loss": ofs_l}
-        if aux_weight:
-            metrics["aux_loss"] = aux_l
-        return new_state, metrics
+        return _grad_step(state, img, target, rng, num_classes,
+                          num_offsets, alpha, criterion_cls, criterion_ofs,
+                          remat, aux_weight)
 
     donate_argnums = (0,) if donate else ()
     if mesh is None:
@@ -180,39 +191,9 @@ def build_train_step_compact(num_classes, offsets, alpha=1.0,
         target = jax.vmap(
             lambda m, oc: mask_to_target(m, oc, num_classes, offsets)
         )(mask, object_class)
-
-        def forward(params, img):
-            kwargs = {"with_aux": True} if aux_weight else {}
-            return state.apply_fn(
-                {"params": params, "batch_stats": state.batch_stats},
-                img, train=True, mutable=["batch_stats"],
-                rngs={"dropout": rng}, **kwargs)
-
-        if remat:
-            forward = jax.checkpoint(forward)
-
-        def loss_fn(params):
-            outs, updates = forward(params, img)
-            aux_l = jnp.zeros((), jnp.float32)
-            if aux_weight:
-                outs, aux = outs
-                aux_l, _, _ = _split_loss(
-                    aux, target, num_classes, num_offsets, alpha,
-                    criterion_cls, criterion_ofs)
-            total, cls_l, ofs_l = _split_loss(
-                outs, target, num_classes, num_offsets, alpha,
-                criterion_cls, criterion_ofs)
-            total = total + aux_weight * aux_l
-            return total, (cls_l, ofs_l, aux_l, updates)
-
-        (total, (cls_l, ofs_l, aux_l, updates)), grads = jax.value_and_grad(
-            loss_fn, has_aux=True)(state.params)
-        new_state = state.apply_gradients(
-            grads, updates.get("batch_stats", state.batch_stats))
-        metrics = {"loss": total, "cls_loss": cls_l, "ofs_loss": ofs_l}
-        if aux_weight:
-            metrics["aux_loss"] = aux_l
-        return new_state, metrics
+        return _grad_step(state, img, target, rng, num_classes,
+                          num_offsets, alpha, criterion_cls, criterion_ofs,
+                          remat, aux_weight)
 
     donate_argnums = (0,) if donate else ()
     if mesh is None:
@@ -231,7 +212,12 @@ def build_train_step_compact(num_classes, offsets, alpha=1.0,
 def build_eval_step(num_classes, num_offsets, alpha=1.0,
                     criterion_cls=bce_with_logits_loss,
                     criterion_ofs=bce_with_logits_loss, mesh=None):
-    """Returns eval(state, img, target) -> (sigmoid_probs, metrics)."""
+    """Returns eval(state, img, target) -> (sigmoid_probs, metrics).
+
+    metrics carries batch-mean scalars plus per-sample (B,) vectors
+    (`per_sample_*`, the criterion vmapped over rows) so callers that pad
+    partial batches (utils.train_utils.validate pad_to) can aggregate
+    the loss over real rows only."""
 
     def step(state, img, target):
         outs = state.apply_fn(
@@ -240,8 +226,15 @@ def build_eval_step(num_classes, num_offsets, alpha=1.0,
         total, cls_l, ofs_l = _split_loss(
             outs, target, num_classes, num_offsets, alpha,
             criterion_cls, criterion_ofs)
+        per_tot, per_cls, per_ofs = jax.vmap(
+            lambda lg, tg: _split_loss(lg, tg, num_classes, num_offsets,
+                                       alpha, criterion_cls, criterion_ofs)
+        )(outs, target)
         probs = jax.nn.sigmoid(outs)
-        return probs, {"loss": total, "cls_loss": cls_l, "ofs_loss": ofs_l}
+        return probs, {"loss": total, "cls_loss": cls_l, "ofs_loss": ofs_l,
+                       "per_sample_loss": per_tot,
+                       "per_sample_cls": per_cls,
+                       "per_sample_ofs": per_ofs}
 
     if mesh is None:
         return jax.jit(step)

@@ -180,8 +180,9 @@ def validate(validateloader, state, eval_step, batch_size, epoch, iterations,
 
     `pad_to` (the mesh's data-axis size) pads partial batches by
     repeating the last sample so sharded eval steps see a divisible
-    batch; score metrics are computed on the real rows only (loss meters
-    include the padded duplicates — negligible logging skew)."""
+    batch; score metrics AND the loss meters count only the real rows
+    (the loss uses the eval step's `per_sample_*` vectors, so padded
+    duplicates never skew the -avg_loss selection signal)."""
     with_class = num_classes > 0
     with_offset = offset_list is not None and len(offset_list) > 0
     cls_losses, ofs_losses = AverageMeter(), AverageMeter()
@@ -202,11 +203,20 @@ def validate(validateloader, state, eval_step, batch_size, epoch, iterations,
         else:
             n_real = img.shape[0]
         probs, metrics = eval_step(state, img, target)
-        all_losses.update(float(metrics["loss"]), batch_size)
-        if with_class:
-            cls_losses.update(float(metrics["cls_loss"]), batch_size)
-        if with_offset:
-            ofs_losses.update(float(metrics["ofs_loss"]), batch_size)
+        if "per_sample_loss" in metrics:
+            def _real_mean(key):
+                return float(np.mean(np.asarray(metrics[key])[:n_real]))
+            all_losses.update(_real_mean("per_sample_loss"), n_real)
+            if with_class:
+                cls_losses.update(_real_mean("per_sample_cls"), n_real)
+            if with_offset:
+                ofs_losses.update(_real_mean("per_sample_ofs"), n_real)
+        else:
+            all_losses.update(float(metrics["loss"]), batch_size)
+            if with_class:
+                cls_losses.update(float(metrics["cls_loss"]), batch_size)
+            if with_offset:
+                ofs_losses.update(float(metrics["ofs_loss"]), batch_size)
         if score and with_class:
             score_metrics.update(probs[:n_real, ..., :num_classes],
                                  target[:n_real, ..., :num_classes])

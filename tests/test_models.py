@@ -27,6 +27,15 @@ def test_factory_rejects_unknown():
         get_model(3, 2, "resnext1000")
 
 
+def test_factory_kwargs_passthrough():
+    """Extra kwargs reach the arch constructor (e.g. ref_head=True for
+    reference FCN-VGG16 checkpoint geometry, models/fcn.py)."""
+    model = get_model(3, 2, "fcn8_vgg16", ref_head=True, verbose=False)
+    assert model.ref_head is True
+    with pytest.raises(TypeError):
+        get_model(3, 2, "unet", ref_head=True, verbose=False)
+
+
 @pytest.mark.parametrize("arch", ["unet", "fcn16_resnet18", "fcn8_vgg16"])
 def test_forward_shapes_small(arch):
     model = get_model(3, 2, arch)

@@ -115,6 +115,34 @@ def test_eval_step():
     assert np.isfinite(float(metrics["loss"]))
 
 
+def test_eval_step_per_sample_metrics():
+    """The per-sample vectors let validate() aggregate over real rows only
+    when partial batches are padded: shape (B,), and their mean recovers
+    the batch-mean scalar (the criterion is a mean over elements of
+    identically-shaped rows)."""
+    _, state, _ = _tiny_setup()
+    eval_step = build_eval_step(3, 2)
+    img = jax.random.uniform(jax.random.PRNGKey(1), (4, 16, 16, 3))
+    target = (jax.random.uniform(jax.random.PRNGKey(2),
+                                 (4, 16, 16, 5)) > 0.5).astype(jnp.float32)
+    _, metrics = eval_step(state, img, target)
+    for key, scalar in (("per_sample_loss", "loss"),
+                        ("per_sample_cls", "cls_loss"),
+                        ("per_sample_ofs", "ofs_loss")):
+        vec = np.asarray(metrics[key])
+        assert vec.shape == (4,)
+        np.testing.assert_allclose(vec.mean(), float(metrics[scalar]),
+                                   rtol=1e-5)
+    # a padded duplicate of the last row must not change the
+    # real-rows-only aggregate that validate() computes
+    img_pad = jnp.concatenate([img, img[-1:]])
+    tgt_pad = jnp.concatenate([target, target[-1:]])
+    _, mp = eval_step(state, img_pad, tgt_pad)
+    np.testing.assert_allclose(
+        np.asarray(mp["per_sample_loss"])[:4].mean(),
+        float(metrics["loss"]), rtol=1e-5)
+
+
 def test_spatial_sharding_compiles():
     """Conv forward with the batch sharded over both data and spatial axes:
     GSPMD inserts halo exchanges automatically."""
