@@ -77,11 +77,63 @@ def main():
                           .rand(1, H // 4, W // 4, C + O)
                           .astype(np.float32)).astype(jnp.bfloat16)
 
+    # head pieces at flagship shapes (fresh params — same ops/shapes)
+    from mergenet_tpu.models.pspnet import (PyramidPoolingModule, FPNModule)
+    rng = jax.random.PRNGKey(1)
+    bf = jnp.bfloat16
+    rnd = np.random.RandomState(2)
+    feats = tuple(
+        jnp.asarray(rnd.rand(1, H // s, W // s, c).astype(np.float32))
+        .astype(bf)
+        for s, c in ((4, 256), (8, 512), (16, 1024), (32, 2048)))
+
+    ppm = PyramidPoolingModule(dtype=bf)
+    ppm_v = ppm.init(rng, feats[3], train=False)
+    fpn = FPNModule(C + O, dtype=bf)
+    c5p = ppm.apply(ppm_v, feats[3], train=False)
+    fpn_v = fpn.init(rng, feats[:3] + (c5p,), train=False)
+
+    @jax.jit
+    def head(pv, fv, feats):
+        c5p = ppm.apply(pv, feats[3], train=False)
+        y = fpn.apply(fv, feats[:3] + (c5p,), train=False)
+        return jnp.sum(y.astype(jnp.float32))
+
+    # the single biggest head op: 4-level fusion concat 3x3 conv 1024->256
+    import flax.linen as nn
+    fuse = nn.Conv(256, (3, 3), padding="SAME", dtype=bf)
+    xfuse = jnp.asarray(rnd.rand(1, H // 4, W // 4, 1024)
+                        .astype(np.float32)).astype(bf)
+    fuse_v = fuse.init(rng, xfuse)
+
+    @jax.jit
+    def fusion_conv(v, x):
+        return jnp.sum(fuse.apply(v, x).astype(jnp.float32))
+
+    # stem: 7x7/2 conv + BN-relu + 3x3/2 maxpool at full res
+    from mergenet_tpu.models.layers import max_pool
+    stem = nn.Conv(64, (7, 7), strides=(2, 2), padding=((3, 3), (3, 3)),
+                   use_bias=False, dtype=bf)
+    stem_v = stem.init(rng, x[:, :8, :8, :].astype(bf))
+
+    @jax.jit
+    def stem_fn(v, x):
+        y = nn.relu(stem.apply(v, x.astype(bf)))
+        return jnp.sum(max_pool(y, window=3, stride=2,
+                                padding=((1, 1), (1, 1)))
+                       .astype(jnp.float32))
+
     print("full (output_size 512x1024): %.2f ms" % timeit(full, variables, x))
     print("full (full-res logits):      %.2f ms"
           % timeit(full_fullres, variables, x))
     print("backbone only:               %.2f ms"
           % timeit(backbone, bb_vars, x))
+    print("PPM+FPN head only:           %.2f ms"
+          % timeit(head, ppm_v, fpn_v, feats))
+    print("fusion 3x3 conv 1024->256 @256x512: %.2f ms"
+          % timeit(fusion_conv, fuse_v, xfuse))
+    print("stem conv7x7/2 + pool @1024x2048:   %.2f ms"
+          % timeit(stem_fn, stem_v, x))
     print("final resize 256x512x19 -> 512x1024 (bf16): %.2f ms"
           % timeit(resize_final, y_small))
 
