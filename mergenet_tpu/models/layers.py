@@ -43,6 +43,57 @@ class SyncBatchNorm(nn.Module):
         )(x)
 
 
+def space_to_depth(x, r=2):
+    """NHWC space-to-depth: (N, H, W, C) -> (N, H/r, W/r, r*r*C) with
+    channel order (row-parity, col-parity, channel)."""
+    n, h, w, c = x.shape
+    return (x.reshape(n, h // r, r, w // r, r, c)
+            .transpose(0, 1, 3, 2, 4, 5)
+            .reshape(n, h // r, w // r, r * r * c))
+
+
+def _s2d_stem_kernel(kernel):
+    """Embed a (7, 7, I, F) stride-2 kernel into the (4, 4, 4I, F)
+    stride-1 kernel that computes the SAME conv on space-to-depth-2
+    input with padding (2, 1): prepend a zero row/col (the 4x4 window
+    position outside the 7x7 footprint), then split each spatial axis
+    into (tap, parity) so channels line up with `space_to_depth`'s
+    (row-parity, col-parity, channel) order."""
+    I, F = kernel.shape[2], kernel.shape[3]
+    k8 = jnp.pad(kernel, ((1, 0), (1, 0), (0, 0), (0, 0)))
+    return (k8.reshape(4, 2, 4, 2, I, F)
+            .transpose(0, 2, 1, 3, 4, 5)
+            .reshape(4, 4, 4 * I, F))
+
+
+class StemConv7(nn.Module):
+    """The classic ResNet 7x7/stride-2 stem conv, with an optional exact
+    space-to-depth rewrite (`s2d=True`): a 4x4/stride-1 conv over the
+    2x2-space-to-depth input.  The strided 7x7 on 3 channels keeps the
+    MXU contraction tiny and the windows overlapping; the rewrite is the
+    standard TPU ResNet stem transform (MLPerf-style) and is bit-exact
+    up to summation order (tests/test_models.py).  Owns the SAME param
+    tree as the `nn.Conv` it replaces (name it "Conv_0"): kernel stays
+    (7, 7, in, features) so checkpoints/imports are unchanged."""
+
+    features: int = 64
+    s2d: bool = False
+    dtype: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x):
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (7, 7, x.shape[-1], self.features))
+        x, kernel = nn.dtypes.promote_dtype(x, kernel, dtype=self.dtype)
+        dn = ("NHWC", "HWIO", "NHWC")
+        if self.s2d and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0:
+            return jax.lax.conv_general_dilated(
+                space_to_depth(x), _s2d_stem_kernel(kernel), (1, 1),
+                ((2, 1), (2, 1)), dimension_numbers=dn)
+        return jax.lax.conv_general_dilated(
+            x, kernel, (2, 2), ((3, 3), (3, 3)), dimension_numbers=dn)
+
+
 class ConvBNRelu(nn.Module):
     """conv -> (sync)BN -> relu, the workhorse block."""
 

@@ -94,6 +94,8 @@ class PSPFPNet(nn.Module):
     layer: int = 50
     fpn_dim: int = 256
     pool_sizes: Tuple[int, ...] = (1, 2, 3, 6)
+    # exact space-to-depth stem rewrite (layers.StemConv7); same params
+    s2d_stem: bool = False
     axis_name: Optional[str] = None
     dtype: Optional[str] = None
 
@@ -105,6 +107,7 @@ class PSPFPNet(nn.Module):
         skip the full-res logits round trip."""
         out_size = tuple(output_size) if output_size else x.shape[1:3]
         feats = ResNetBackbone(layer=self.layer,
+                               s2d_stem=self.s2d_stem,
                                axis_name=self.axis_name,
                                dtype=self.dtype)(x, train)
         c2, c3, c4, c5 = feats

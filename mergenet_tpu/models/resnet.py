@@ -18,7 +18,7 @@ from typing import Optional, Sequence, Tuple
 
 from flax import linen as nn
 
-from .layers import SyncBatchNorm, max_pool
+from .layers import StemConv7, SyncBatchNorm, max_pool
 
 STAGE_BLOCKS = {
     18: (2, 2, 2, 2),
@@ -99,6 +99,9 @@ class ResNetBackbone(nn.Module):
     # per-stage (stride, dilation); PSPNet uses ((1,1),(2,1),(1,2),(1,4))
     stage_strides: Tuple[int, int, int, int] = (1, 2, 2, 2)
     stage_dilations: Tuple[int, int, int, int] = (1, 1, 1, 1)
+    # exact space-to-depth rewrite of the 7x7/s2 stem (serving-time TPU
+    # optimization; same param tree — see layers.StemConv7)
+    s2d_stem: bool = False
     axis_name: Optional[str] = None
     dtype: Optional[str] = None
 
@@ -119,9 +122,8 @@ class ResNetBackbone(nn.Module):
             x = nn.Conv(128, (3, 3), padding="SAME", use_bias=False, dtype=self.dtype)(x)
             x = nn.relu(bn()(x, train))
         else:
-            x = nn.Conv(64, (7, 7), strides=(2, 2),
-                        padding=((3, 3), (3, 3)),
-                        use_bias=False, dtype=self.dtype)(x)
+            x = StemConv7(features=64, s2d=self.s2d_stem,
+                          dtype=self.dtype, name="Conv_0")(x)
             x = nn.relu(bn()(x, train))
         x = max_pool(x, window=3, stride=2, padding=((1, 1), (1, 1)))
 

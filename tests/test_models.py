@@ -160,6 +160,43 @@ def test_resize_bilinear_matches_jax_image(in_shape, out_size):
     np.testing.assert_allclose(got3, want[0], atol=2e-6, rtol=1e-5)
 
 
+def test_s2d_stem_exact():
+    """StemConv7's space-to-depth rewrite computes the SAME conv as the
+    strided 7x7 on identical params (summation-order float tolerance),
+    and the param tree is unchanged (Conv_0/kernel, (7,7,3,64))."""
+    from mergenet_tpu.models.layers import StemConv7
+    x = jnp.asarray(np.random.RandomState(0)
+                    .rand(1, 32, 48, 3).astype(np.float32))
+    base = StemConv7(features=64, s2d=False)
+    v = base.init(jax.random.PRNGKey(0), x)
+    assert v["params"]["kernel"].shape == (7, 7, 3, 64)
+    want = np.asarray(base.apply(v, x))
+    got = np.asarray(StemConv7(features=64, s2d=True).apply(v, x))
+    assert got.shape == want.shape == (1, 16, 24, 64)
+    np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-5)
+    # odd spatial size falls back to the strided conv
+    xo = x[:, :31, :47, :]
+    np.testing.assert_allclose(
+        np.asarray(StemConv7(features=64, s2d=True).apply(v, xo)),
+        np.asarray(base.apply(v, xo)), atol=1e-6)
+
+
+def test_s2d_stem_model_parity():
+    """PSPFPNet(s2d_stem=True) shares the baseline's param/stat trees and
+    reproduces its forward on identical variables."""
+    from mergenet_tpu.models import init_model
+    from mergenet_tpu.models.pspnet import PSPFPNet
+    x = jnp.asarray(np.random.RandomState(1)
+                    .rand(1, 64, 96, 3).astype(np.float32))
+    m0 = PSPFPNet(7, layer=18, fpn_dim=32)
+    params, stats = init_model(m0, jax.random.PRNGKey(0), (1, 64, 96, 3))
+    v = {"params": params, "batch_stats": stats}
+    m1 = m0.clone(s2d_stem=True)
+    want = np.asarray(m0.apply(v, x, train=False))
+    got = np.asarray(m1.apply(v, x, train=False))
+    np.testing.assert_allclose(got, want, atol=1e-4, rtol=1e-4)
+
+
 def test_resize_bilinear_downsample_falls_back():
     from mergenet_tpu.models.layers import resize_bilinear
     x = jnp.asarray(np.random.RandomState(1).rand(1, 16, 16, 2)
