@@ -29,6 +29,12 @@ def timeit(fn, *args, iters=8, warmup=2):
 
 def main():
     import jax
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          "/root/repo/.jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
+    except Exception:
+        pass
     import jax.numpy as jnp
     from mergenet_tpu.models import get_model, init_model
     from mergenet_tpu.models.resnet import ResNetBackbone
@@ -123,6 +129,27 @@ def main():
                                 padding=((1, 1), (1, 1)))
                        .astype(jnp.float32))
 
+    # space-to-depth stem rewrite (same math; layers.StemConv7)
+    from mergenet_tpu.models.layers import StemConv7
+    s2d_mod = StemConv7(features=64, s2d=True, dtype=bf)
+    s2d_v = {"params": {"kernel": stem_v["params"]["kernel"]}}
+
+    @jax.jit
+    def stem_s2d_fn(v, x):
+        y = nn.relu(s2d_mod.apply(v, x.astype(bf)))
+        return jnp.sum(max_pool(y, window=3, stride=2,
+                                padding=((1, 1), (1, 1)))
+                       .astype(jnp.float32))
+
+    # full model with the s2d stem (same variables)
+    model_s2d = model.clone(s2d_stem=True)
+
+    @jax.jit
+    def full_s2d(v, x):
+        logits = model_s2d.apply(v, x.astype(jnp.bfloat16), train=False,
+                                 output_size=(DH, DW))
+        return jnp.sum(jax.nn.sigmoid(logits.astype(jnp.float32)))
+
     print("full (output_size 512x1024): %.2f ms" % timeit(full, variables, x))
     print("full (full-res logits):      %.2f ms"
           % timeit(full_fullres, variables, x))
@@ -134,6 +161,10 @@ def main():
           % timeit(fusion_conv, fuse_v, xfuse))
     print("stem conv7x7/2 + pool @1024x2048:   %.2f ms"
           % timeit(stem_fn, stem_v, x))
+    print("stem s2d 4x4/1 + pool @1024x2048:   %.2f ms"
+          % timeit(stem_s2d_fn, s2d_v, x))
+    print("full with s2d stem:          %.2f ms"
+          % timeit(full_s2d, variables, x))
     print("final resize 256x512x19 -> 512x1024 (bf16): %.2f ms"
           % timeit(resize_final, y_small))
 
