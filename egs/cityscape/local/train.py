@@ -18,6 +18,7 @@ import random
 import numpy as np
 
 import jax
+import jax.numpy as jnp
 
 from mergenet_tpu.models import get_model, init_model, param_count
 from mergenet_tpu.data import AllDataset, ClassDataset, OffsetDataset, \
@@ -82,6 +83,11 @@ parser.add_argument("--input-pipeline", default="loader", type=str,
                          "compact uint8/int32 records, targets built ON "
                          "DEVICE inside the jitted step (~20x less "
                          "host->device traffic; mode=all only)")
+parser.add_argument("--bf16", action="store_true",
+                    help="mixed precision: bfloat16 compute (convs/BN), "
+                         "float32 params, BN stats, logits and loss — the "
+                         "TPU-native equivalent of torch.cuda.amp (the "
+                         "reference trains pure float32)")
 parser.add_argument("--tensorboard", action="store_true")
 parser.add_argument("--pretrain", action="store_true")
 parser.add_argument("--crop", action="store_true")
@@ -119,7 +125,8 @@ def main():
     if args.mode == "class":
         num_offsets = 0
 
-    model = get_model(num_classes, num_offsets, args.arch, args.pretrain)
+    model = get_model(num_classes, num_offsets, args.arch, args.pretrain,
+                      dtype=jnp.bfloat16 if args.bf16 else None)
 
     use_grain = args.input_pipeline == "grain"
     if use_grain and args.mode != "all":

@@ -11,6 +11,7 @@ import argparse
 import random
 
 import jax
+import jax.numpy as jnp
 
 from mergenet_tpu.models import get_model, param_count
 from mergenet_tpu.data import COCODataset, DataLoader
@@ -49,6 +50,9 @@ parser.add_argument("--train-ann", type=str,
 parser.add_argument("--val-ann", type=str,
                     default="data/annotations/instances_val2017.json")
 parser.add_argument("--limits", default=None, type=int)
+parser.add_argument("--bf16", action="store_true",
+                    help="mixed precision: bfloat16 compute, float32 "
+                         "params/stats/loss (see egs/cityscape train)")
 parser.add_argument("--tensorboard", action="store_true")
 parser.add_argument("--pretrain", action="store_true")
 parser.add_argument("--score", action="store_true")
@@ -66,7 +70,8 @@ def main():
     offset_list = generate_offsets(80 / args.scale, num_offsets)
     print("offsets are: {}".format(offset_list))
 
-    model = get_model(num_classes, num_offsets, args.arch, args.pretrain)
+    model = get_model(num_classes, num_offsets, args.arch, args.pretrain,
+                  dtype=jnp.bfloat16 if args.bf16 else None)
     trainset = COCODataset(args.train_img, args.train_ann, num_classes,
                            offset_list, scale=args.scale, crop=True,
                            crop_size=args.crop_size, limits=args.limits)

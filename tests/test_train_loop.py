@@ -254,3 +254,36 @@ def test_aux_head_deep_supervision_compact():
     assert float(metrics["aux_loss"]) > 0
     after = np.asarray(state2.params["Conv_3"]["kernel"])
     assert not np.allclose(before, after), "aux head got no gradient"
+
+
+def test_bf16_mixed_precision_training():
+    """`--bf16` semantics: a model built with dtype=bfloat16 trains with
+    float32 params/opt-state and float32 loss (models cast logits back),
+    and the loss trajectory tracks the float32 model closely at the
+    start of training (same init)."""
+    losses = {}
+    for dt in (None, jnp.bfloat16):
+        model = UNet(NUM_CLASSES, len(OFFSETS), depth=3, start_filts=8,
+                     dtype=dt)
+        tx = make_optimizer(lr=0.05, milestones=None)
+        state = create_train_state(model, tx, jax.random.PRNGKey(0),
+                                   (1, HW, HW, 3))
+        assert all(a.dtype == jnp.float32
+                   for a in jax.tree_util.tree_leaves(state.params))
+        step = build_train_step(NUM_CLASSES, len(OFFSETS), alpha=1.0,
+                                donate=False)
+        loader, _, _ = _synthetic_loader()
+        traj = []
+        for imgs, targets in loader:
+            state, metrics = step(state, jnp.asarray(imgs),
+                                  jnp.asarray(targets),
+                                  jax.random.PRNGKey(1))
+            traj.append(float(metrics["loss"]))
+        assert all(np.isfinite(l) for l in traj)
+        assert all(a.dtype == jnp.float32
+                   for a in jax.tree_util.tree_leaves(state.params))
+        losses[dt] = traj
+    f32, bf16 = losses[None], losses[jnp.bfloat16]
+    # same data, same init: early-training losses agree to bf16 noise
+    np.testing.assert_allclose(bf16, f32, rtol=0.15)
+    assert bf16[-1] < bf16[0], "bf16 training did not reduce the loss"
