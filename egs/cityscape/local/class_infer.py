@@ -6,6 +6,7 @@ head over the val/test set, writes `<id>.class.npy` probability maps."""
 import argparse
 
 import jax
+import jax.numpy as jnp
 
 from mergenet_tpu.models import get_model, init_model, tile_predict
 from mergenet_tpu.data import ClassDataset, AllDataset, DataLoader
@@ -29,6 +30,8 @@ parser.add_argument("--batch-size", default=1, type=int)
 parser.add_argument("--scale", default=1, type=int)
 parser.add_argument("--limits", default=None, type=int)
 parser.add_argument("--score", action="store_true")
+parser.add_argument("--bf16", action="store_true",
+                    help="bf16 net compute (float32 probs out)")
 parser.add_argument("--caffe", action="store_true",
                     help="caffe-style preprocessing + tiled prediction")
 parser.add_argument("--tile-size", default=None, type=int, nargs=2,
@@ -45,7 +48,8 @@ def main():
     args = parser.parse_args()
     num_classes = args.num_classes
 
-    model = get_model(num_classes, 0, args.arch)
+    model = get_model(num_classes, 0, args.arch,
+                      dtype=jnp.bfloat16 if args.bf16 else None)
     tx = make_optimizer()
     state = create_train_state(model, tx, jax.random.PRNGKey(0),
                                (1, 128, 128, 3))

@@ -7,6 +7,7 @@ writes `<id>.offset.npy` probability maps."""
 import argparse
 
 import jax
+import jax.numpy as jnp
 
 from mergenet_tpu.models import get_model
 from mergenet_tpu.data import OffsetDataset, DataLoader
@@ -28,13 +29,16 @@ parser.add_argument("--batch-size", default=1, type=int)
 parser.add_argument("--scale", default=1, type=int)
 parser.add_argument("--limits", default=None, type=int)
 parser.add_argument("--score", action="store_true")
+parser.add_argument("--bf16", action="store_true",
+                    help="bf16 net compute (float32 probs out)")
 parser.add_argument("--job", type=int, default=0)
 parser.add_argument("--num-jobs", type=int, default=1)
 
 
 def main():
     args = parser.parse_args()
-    model = get_model(0, args.num_offsets, args.arch)
+    model = get_model(0, args.num_offsets, args.arch,
+                      dtype=jnp.bfloat16 if args.bf16 else None)
     tx = make_optimizer()
     state = create_train_state(model, tx, jax.random.PRNGKey(0),
                                (1, 128, 128, 3))
