@@ -83,6 +83,10 @@ parser.add_argument("--input-pipeline", default="loader", type=str,
                          "compact uint8/int32 records, targets built ON "
                          "DEVICE inside the jitted step (~20x less "
                          "host->device traffic; mode=all only)")
+parser.add_argument("--remat", action="store_true",
+                    help="rematerialize the forward during backprop "
+                         "(jax.checkpoint): trades ~30%% step time for "
+                         "activation memory -> bigger batch/crop per chip")
 parser.add_argument("--bf16", action="store_true",
                     help="mixed precision: bfloat16 compute (convs/BN), "
                          "float32 params, BN stats, logits and loss — the "
@@ -237,13 +241,14 @@ def main():
         train_step = build_train_step_compact(
             num_classes, tuple(tuple(o) for o in offset_list),
             alpha=args.alpha, criterion_cls=get_loss_fn("bce"),
-            criterion_ofs=loss_fn, mesh=mesh,
+            criterion_ofs=loss_fn, mesh=mesh, remat=args.remat,
             aux_weight=args.aux_weight if args.arch == "pspnet" else 0.0)
     else:
         train_step = build_train_step(
             num_classes, num_offsets, alpha=args.alpha,
             criterion_cls=get_loss_fn("bce") if num_classes else None,
             criterion_ofs=loss_fn if num_offsets else None, mesh=mesh,
+            remat=args.remat,
             aux_weight=args.aux_weight if args.arch == "pspnet" else 0.0)
     eval_step = build_eval_step(
         num_classes, num_offsets, alpha=args.alpha,
