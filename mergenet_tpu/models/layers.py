@@ -156,19 +156,26 @@ def resize_bilinear(x, size):
         return out[0] if squeeze else out
     if (H, W) != (h, w):
         dt = x.dtype
-        xf = x.astype(jnp.float32)
+        # bf16 inputs contract in bf16 (native MXU issue rate, half the
+        # HBM bytes) with f32 accumulation — same error class as the
+        # bf16 gather lowering this replaced; everything else runs the
+        # exact f32 path (pinned against jax.image.resize in tests).
+        mm_dt = jnp.bfloat16 if dt == jnp.bfloat16 else jnp.float32
+        xf = x.astype(mm_dt)
         if H != h:
-            ah = jnp.asarray(_linear_resize_matrix(h, H))
+            ah = jnp.asarray(_linear_resize_matrix(h, H)).astype(mm_dt)
             # (H, h) x (n, h, w, c) -> (n, H, w, c)
             xf = jax.lax.dot_general(
                 ah, xf, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32).transpose(1, 0, 2, 3)
+                preferred_element_type=jnp.float32
+            ).transpose(1, 0, 2, 3).astype(mm_dt)
         if W != w:
-            aw = jnp.asarray(_linear_resize_matrix(w, W))
+            aw = jnp.asarray(_linear_resize_matrix(w, W)).astype(mm_dt)
             # (W, w) x (n, H, w, c) -> (n, H, W, c)
             xf = jax.lax.dot_general(
                 aw, xf, (((1,), (2,)), ((), ())),
-                preferred_element_type=jnp.float32).transpose(1, 2, 0, 3)
+                preferred_element_type=jnp.float32
+            ).transpose(1, 2, 0, 3).astype(mm_dt)
         x = xf.astype(dt)
     out = x
     return out[0] if squeeze else out

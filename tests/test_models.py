@@ -160,6 +160,19 @@ def test_resize_bilinear_matches_jax_image(in_shape, out_size):
     np.testing.assert_allclose(got3, want[0], atol=2e-6, rtol=1e-5)
 
 
+def test_resize_bilinear_bf16_path():
+    """bf16 inputs take the reduced-precision matmul path: output dtype
+    preserved, values within bf16 tolerance of the f32 reference."""
+    from mergenet_tpu.models.layers import resize_bilinear
+    x32 = jnp.asarray(np.random.RandomState(2)
+                      .rand(1, 16, 24, 8).astype(np.float32))
+    got = resize_bilinear(x32.astype(jnp.bfloat16), (40, 60))
+    assert got.dtype == jnp.bfloat16
+    want = np.asarray(resize_bilinear(x32, (40, 60)))
+    np.testing.assert_allclose(np.asarray(got, np.float32), want,
+                               atol=0.02, rtol=0.02)
+
+
 def test_s2d_stem_exact():
     """StemConv7's space-to-depth rewrite computes the SAME conv as the
     strided 7x7 on identical params (summation-order float tolerance),
