@@ -94,6 +94,44 @@ class StemConv7(nn.Module):
             x, kernel, (2, 2), ((3, 3), (3, 3)), dimension_numbers=dn)
 
 
+class ConcatFusionConv(nn.Module):
+    """3x3/SAME conv over the channel-concat of same-shape feature maps,
+    computed as per-part partial convs summed.
+
+    Identical math and an IDENTICAL param tree to
+    `nn.Conv(features, (3, 3), padding="SAME")` over the concatenated
+    input — kernel (3, 3, sum(part channels), features) plus bias — so
+    checkpoints and the weight importer are unchanged (name it like the
+    conv it replaces, e.g. "Conv_0").  Splitting keeps the wide concat
+    tensor out of HBM: XLA fuses each level's upsample into its partial
+    conv instead of materializing the concat first (measured ~15% faster
+    at the PSPFPNet fusion shape 256x512x1024 -> 256, docs/benchmarks.md
+    "net forward"); the win grows with fpn_dim (UperNet fuses 2048
+    channels)."""
+
+    features: int
+    dtype: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, parts):
+        total = sum(int(p.shape[-1]) for p in parts)
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (3, 3, total, self.features))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        out = None
+        c0 = 0
+        for p in parts:
+            ci = int(p.shape[-1])
+            x, k = nn.dtypes.promote_dtype(p, kernel[:, :, c0:c0 + ci, :],
+                                           dtype=self.dtype)
+            y = jax.lax.conv_general_dilated(
+                x, k, (1, 1), ((1, 1), (1, 1)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+            out = y if out is None else out + y
+            c0 += ci
+        return out + bias.astype(out.dtype)
+
+
 class ConvBNRelu(nn.Module):
     """conv -> (sync)BN -> relu, the workhorse block."""
 

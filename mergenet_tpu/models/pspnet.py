@@ -16,7 +16,8 @@ from typing import Optional, Tuple
 import jax.numpy as jnp
 from flax import linen as nn
 
-from .layers import (SyncBatchNorm, adaptive_avg_pool, resize_bilinear)
+from .layers import (ConcatFusionConv, SyncBatchNorm, adaptive_avg_pool,
+                     resize_bilinear)
 from .resnet import ResNetBackbone, feature_dims
 
 
@@ -77,12 +78,15 @@ class FPNModule(nn.Module):
         output_size = fpn_features[0].shape[1:3]
         fusion = [fpn_features[0]] + [
             resize_bilinear(f, output_size) for f in fpn_features[1:]]
-        x = jnp.concatenate(fusion, axis=-1)
-        x = nn.Conv(self.fpn_dim, (3, 3), padding="SAME",
-                    dtype=self.dtype)(x)
+        # fusion conv as summed per-level partial convs: same math and
+        # param tree ("Conv_0") as concat + nn.Conv, but the 4*fpn_dim
+        # concat tensor never hits HBM (ConcatFusionConv docstring)
+        x = ConcatFusionConv(self.fpn_dim, dtype=self.dtype,
+                             name="Conv_0")(fusion)
         x = nn.relu(SyncBatchNorm(axis_name=self.axis_name,
                                       dtype=self.dtype)(x, train))
-        x = nn.Conv(self.num_outputs, (1, 1), dtype=self.dtype)(x)
+        x = nn.Conv(self.num_outputs, (1, 1), dtype=self.dtype,
+                    name="Conv_1")(x)
         return x
 
 
