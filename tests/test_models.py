@@ -210,6 +210,38 @@ def test_s2d_stem_model_parity():
     np.testing.assert_allclose(got, want, atol=1e-4, rtol=1e-4)
 
 
+def test_concat_fusion_conv_matches_concat_conv():
+    """ConcatFusionConv == nn.Conv(3x3, SAME) over the channel concat on
+    the SAME params (summed-partial-conv float tolerance), with the
+    identical param tree (kernel (3,3,sum(ci),F) + bias) so checkpoints
+    and the weight importer are unchanged."""
+    import flax.linen as nn
+    from mergenet_tpu.models.layers import ConcatFusionConv
+    rnd = np.random.RandomState(0)
+    parts = [jnp.asarray(rnd.rand(2, 8, 12, c).astype(np.float32))
+             for c in (5, 3, 5, 7)]
+    xcat = jnp.concatenate(parts, axis=-1)
+    ref = nn.Conv(6, (3, 3), padding="SAME")
+    v = ref.init(jax.random.PRNGKey(0), xcat)
+    assert v["params"]["kernel"].shape == (3, 3, 20, 6)
+    fused = ConcatFusionConv(6)
+    got = np.asarray(fused.apply(v, parts))
+    want = np.asarray(ref.apply(v, xcat))
+    np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-5)
+    # init produces the same tree shapes as the conv it replaces
+    v2 = fused.init(jax.random.PRNGKey(1), parts)
+    assert v2["params"]["kernel"].shape == (3, 3, 20, 6)
+    assert v2["params"]["bias"].shape == (6,)
+    # bf16 compute path matches the bf16 conv
+    vb = jax.tree_util.tree_map(lambda a: a, v)
+    got_bf = np.asarray(ConcatFusionConv(6, dtype=jnp.bfloat16)
+                        .apply(vb, parts).astype(jnp.float32))
+    want_bf = np.asarray(nn.Conv(6, (3, 3), padding="SAME",
+                                 dtype=jnp.bfloat16)
+                         .apply(vb, xcat).astype(jnp.float32))
+    np.testing.assert_allclose(got_bf, want_bf, atol=2e-2, rtol=2e-2)
+
+
 def test_resize_bilinear_downsample_falls_back():
     from mergenet_tpu.models.layers import resize_bilinear
     x = jnp.asarray(np.random.RandomState(1).rand(1, 16, 16, 2)
