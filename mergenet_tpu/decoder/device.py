@@ -691,6 +691,16 @@ def _finalize_components(comp, cls_lp, size, frozen, M, do_prune,
 
 
 
+def _two_sum(a, b):
+    """TwoSum-carry combiner for compensated associative scans."""
+    ah, al = a
+    bh, bl = b
+    s = ah + bh
+    z = s - ah
+    e = (ah - (s - z)) + (bh - z)
+    return (s, al + bl + e)
+
+
 def _stable_cumsum(x, block=1024):
     """Running sum whose DIFFERENCES between nearby read-out points stay
     accurate at millions of elements.
@@ -707,24 +717,131 @@ def _stable_cumsum(x, block=1024):
     xb = jnp.pad(x, (0, nb * block - n)).reshape(nb, block)
     within = jnp.cumsum(xb, axis=1)
     btot = within[:, -1]
-
-    def two_sum(a, b):
-        ah, al = a
-        bh, bl = b
-        s = ah + bh
-        z = s - ah
-        e = (ah - (s - z)) + (bh - z)
-        return (s, al + bl + e)
-
     hi, lo = jax.lax.associative_scan(
-        two_sum, (btot, jnp.zeros_like(btot)))
+        _two_sum, (btot, jnp.zeros_like(btot)))
     base = jnp.concatenate([jnp.zeros((1,), x.dtype), (hi + lo)[:-1]])
     return (base[:, None] + within).reshape(-1)[:n]
 
 
+def _stable_cumsum_rows(x, block=1024):
+    """Row-wise `_stable_cumsum`: independent compensated running sums
+    along axis 1 of an (R, B) array (same accuracy argument)."""
+    R, B = x.shape
+    if B <= block:
+        return jnp.cumsum(x, axis=1)
+    nb = -(-B // block)
+    xb = jnp.pad(x, ((0, 0), (0, nb * block - B))).reshape(R, nb, block)
+    within = jnp.cumsum(xb, axis=2)
+    btot = within[:, :, -1]
+    hi, lo = jax.lax.associative_scan(
+        _two_sum, (btot, jnp.zeros_like(btot)), axis=1)
+    base = jnp.concatenate(
+        [jnp.zeros((R, 1), x.dtype), (hi + lo)[:, :-1]], axis=1)
+    return (base[:, :, None] + within).reshape(R, nb * block)[:, :B]
+
+
+def _block_dedup(key, oml, P, SENT, pair_slots, block, slots):
+    """Per-block pre-aggregated pair dedup (the packed fast path).
+
+    Instead of one monolithic E-sized (key, oml) sort, reshape the E
+    edges into rows of `block`, sort each row (batched sorts are ~2x the
+    throughput of one monolithic sort on TPU), aggregate each row's
+    parallel edges into per-(pair, row) partial sums, compact those to
+    the first `slots` row slots with a second batched sort, and finish
+    with ONE tiny global sort at R*slots entries (~160k vs 5.2M).  On
+    trained 512x1024 outputs rows of 4096 raster-order edges touch <=20
+    unique pairs (mean ~6), so `slots`=64 is ~3x headroom while cutting
+    the dedup stage ~2.5x (docs/benchmarks.md).
+
+    Capacity semantics (whole-pair drops, like the mono path's straddle
+    rule): if any row holds more than `slots` unique pairs, the dropped
+    runs are that row's LARGEST keys (rows are key-sorted), so every key
+    >= T = min(dropped keys over all rows) is dropped globally — pairs
+    either aggregate ALL their edges or never merge; no pair survives
+    with partial (corrupted) evidence.  No overflow => T = sentinel =>
+    exact.  Stats: `n_ext` and `edges_dropped` are EXACT (edges_dropped
+    > 0 is the overflow-detection signal); the pair counts are exact
+    with no overflow but UPPER BOUNDS under overflow — a dropped pair
+    counts once per row it was row-dropped in (deduplicating them would
+    need the global sort this path exists to avoid).
+
+    Returns (plo, phi, pair_oml, stats) shaped (pair_slots,) like the
+    mono dedup."""
+    f32 = jnp.float32
+    E = int(key.shape[0])
+    R = -(-E // block)
+    pad = R * block - E
+    if pad:
+        key = jnp.concatenate([key, jnp.full((pad,), SENT, key.dtype)])
+        oml = jnp.concatenate([oml, jnp.zeros((pad,), oml.dtype)])
+    k2, o2 = jax.lax.sort((key.reshape(R, block), oml.reshape(R, block)),
+                          dimension=1, num_keys=1)
+    dead = k2 >= SENT
+    first = jnp.concatenate(
+        [jnp.ones((R, 1), bool), k2[:, 1:] != k2[:, :-1]], axis=1)
+    run_id = jnp.cumsum(first.astype(jnp.int32), axis=1) - 1
+    tot = _stable_cumsum_rows(jnp.where(dead, 0.0, o2))
+    last = jnp.concatenate(
+        [first[:, 1:], jnp.ones((R, 1), bool)], axis=1)
+    sel = last & ~dead
+    # whole-pair drop threshold: min key whose run overflowed its row
+    mindrop = jnp.min(jnp.where(first & ~dead & (run_id >= slots),
+                                k2, SENT))
+    ordkey = jnp.where(sel & (run_id < slots), run_id,
+                       slots).astype(jnp.int32)
+    ord_s, k_s, t_s = jax.lax.sort((ordkey, k2, tot), dimension=1,
+                                   num_keys=1)
+    kept = ord_s[:, :slots] < slots
+    t_sl = t_s[:, :slots]
+    prev = jnp.concatenate(
+        [jnp.zeros((R, 1), f32), t_sl[:, :-1]], axis=1)
+    pk = jnp.where(kept, k_s[:, :slots], SENT).reshape(-1)
+    pt = jnp.where(kept, t_sl - prev, 0.0).reshape(-1)
+
+    # ---- global finish at R*slots entries ----
+    gk, gt = jax.lax.sort((pk, pt), num_keys=1)
+    gdead = gk >= mindrop  # sentinels AND threshold-dropped pairs
+    gfirst = jnp.concatenate([jnp.ones((1,), bool), gk[1:] != gk[:-1]])
+    # number KEPT runs contiguously (dropped runs sit between kept ones
+    # in key order, so the raw run index would leave gaps and mis-clamp
+    # against pair_slots)
+    krun = (jnp.cumsum((gfirst & ~gdead).astype(jnp.int32)) - 1) \
+        .astype(jnp.int32)
+    gtot = _stable_cumsum(jnp.where(gdead, 0.0, gt))
+    glast = jnp.concatenate([gfirst[1:], jnp.ones((1,), bool)])
+    gsel = glast & ~gdead & (krun < pair_slots - 1)
+    gord = jnp.where(gsel, krun, pair_slots - 1)
+    os_, pk_s, tot_s = jax.lax.sort((gord, gk, gtot), num_keys=1)
+    valid = os_[:pair_slots] < pair_slots - 1
+    plo = jnp.where(valid, pk_s[:pair_slots] // P, -1)
+    phi = jnp.where(valid, pk_s[:pair_slots] % P, -1)
+    ctot = tot_s[:pair_slots]
+    pair_oml = jnp.where(
+        valid, ctot - jnp.concatenate([jnp.zeros((1,), f32), ctot[:-1]]),
+        0.0)
+
+    n_ext = jnp.sum((~dead).astype(jnp.int32))
+    edges_dropped = jnp.sum((~dead & (k2 >= mindrop)).astype(jnp.int32))
+    pairs_kept = jnp.sum((gfirst & ~gdead).astype(jnp.int32))
+    # upper-bound dropped-pair count: runs cut at row level (once per
+    # row) + globally-visible runs past the threshold + clamp overflow
+    rowdrop = jnp.sum((first & ~dead & (run_id >= slots))
+                      .astype(jnp.int32))
+    pairs_cut = jnp.sum((gfirst & (gk < SENT) & gdead).astype(jnp.int32))
+    pairs_dropped = (rowdrop + pairs_cut + jnp.maximum(
+        pairs_kept - (pair_slots - 1), 0)).astype(jnp.int32)
+    stats = {
+        "n_ext": n_ext,
+        "edges_dropped": edges_dropped,
+        "pairs_total": pairs_kept + pairs_dropped,
+        "pairs_dropped": pairs_dropped,
+    }
+    return plo, phi, pair_oml, stats
+
+
 def _pair_phase(comp2d, cls_lp, size, frozen, log_odds, offsets, M2,
                 pair_slots, pair_rounds, den_mode, omf, bias, packed,
-                edge_slots=None):
+                edge_slots=None, dedup_block=None, dedup_slots=64):
     """Pair dedup + aggregated Boruvka rounds (decode_hierarchical stages
     3-4; docs/decoder.md).
 
@@ -774,6 +891,17 @@ def _pair_phase(comp2d, cls_lp, size, frozen, log_odds, offsets, M2,
             his.append(jnp.where(ext, hi, M2).reshape(-1))
         omls.append(log_odds[:, :, oi].reshape(-1))
     oml = jnp.concatenate(omls)
+    if packed and dedup_block is not None:
+        # per-block pre-aggregated dedup (serving fast path); edge_slots
+        # compaction is the mono path's mechanism — mutually exclusive
+        assert edge_slots is None, \
+            "dedup_block and edge_slots are mutually exclusive"
+        plo, phi, pair_oml, stats = _block_dedup(
+            jnp.concatenate(keys), oml, P, SENT, pair_slots,
+            int(dedup_block), int(dedup_slots))
+        return _pair_rounds(plo, phi, pair_oml, stats, cls_lp, size,
+                            frozen, M2, P, SENT, pair_slots, pair_rounds,
+                            den_mode, omf, bias, packed)
     if packed:
         key = jnp.concatenate(keys)
         ext_mask = key < SENT
@@ -857,7 +985,17 @@ def _pair_phase(comp2d, cls_lp, size, frozen, log_odds, offsets, M2,
             pairs_total - (pair_slots - 1), 0).astype(jnp.int32),
     }
 
-    # ---- aggregated Boruvka pair rounds ----
+    return _pair_rounds(plo, phi, pair_oml, stats, cls_lp, size, frozen,
+                        M2, P, SENT, pair_slots, pair_rounds, den_mode,
+                        omf, bias, packed)
+
+
+def _pair_rounds(plo, phi, pair_oml, stats, cls_lp, size, frozen, M2, P,
+                 SENT, pair_slots, pair_rounds, den_mode, omf, bias,
+                 packed):
+    """Aggregated Boruvka rounds over the deduped unique-pair arrays
+    (shared by the mono and block dedup paths)."""
+    f32 = jnp.float32
     ids2 = jnp.arange(M2, dtype=jnp.int32)
 
     def pair_round(state):
@@ -947,8 +1085,8 @@ def _pair_phase(comp2d, cls_lp, size, frozen, log_odds, offsets, M2,
                      "merge_logprob_bias", "ccl_sweeps", "ccl_margin",
                      "absorb_thetas", "absorb_size_cap", "max_components",
                      "pair_components", "pair_slots", "pair_rounds",
-                     "edge_slots", "do_prune", "prune_threshold",
-                     "return_stats"))
+                     "edge_slots", "dedup_block", "dedup_slots",
+                     "do_prune", "prune_threshold", "return_stats"))
 def decode_hierarchical(class_probs, sameness_probs, num_classes, offsets,
                         same_different_bias=0.0, object_merge_factor=1.0,
                         merge_logprob_bias=0.0, den_mode="sum",
@@ -957,7 +1095,7 @@ def decode_hierarchical(class_probs, sameness_probs, num_classes, offsets,
                         absorb_size_cap=64,
                         max_components=65536, pair_components=8192,
                         pair_slots=16384, pair_rounds=64,
-                        edge_slots=2621440,
+                        edge_slots=None, dedup_block=4096, dedup_slots=256,
                         do_prune=False, prune_threshold=200.0,
                         return_stats=False):
     """Single-dispatch hierarchical decode tuned for serving throughput.
@@ -1163,7 +1301,9 @@ def decode_hierarchical(class_probs, sameness_probs, num_classes, offsets,
     total_map, cls_lp, size, stats = _pair_phase(
         comp2d, cls_lp, size, frozen, log_odds, offsets, M2, pair_slots,
         pair_rounds, den_mode, omf, bias, packed=True,
-        edge_slots=edge_slots)
+        edge_slots=edge_slots,
+        dedup_block=None if edge_slots is not None else dedup_block,
+        dedup_slots=dedup_slots)
 
     comp = total_map[comp2d.reshape(-1)].reshape(H, W)
     out = _finalize_components(comp, cls_lp, size, frozen, M2, do_prune,

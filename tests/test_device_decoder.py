@@ -364,6 +364,100 @@ def test_decode_on_device_max_edges_whole_pair_policy():
         assert c[0, 4] != c[0, 2], k    # pair (1,2) dropped whole
 
 
+def test_block_dedup_matches_mono_dedup():
+    """The per-block pre-aggregated pair dedup (decode_hierarchical's
+    default `dedup_block` path) is a pure optimization: on a noisy
+    multi-instance scene it must produce the SAME mask as the monolithic
+    one-sort dedup (`edge_slots` path), with zero drops reported."""
+    from mergenet_tpu.decoder.device import decode_hierarchical
+
+    rng = np.random.RandomState(0)
+    H, W, C = 128, 256, 6
+    offsets = OFFSETS
+    inst = np.zeros((H, W), np.int32)
+    classes = {0: 0}
+    for k in range(1, 8):
+        r, c = rng.randint(0, H - 30), rng.randint(0, W - 50)
+        inst[r:r + rng.randint(10, 30), c:c + rng.randint(20, 50)] = k
+        classes[k] = rng.randint(1, C)
+    cp = np.full((H, W, C), 0.02, np.float32)
+    for k, cl in classes.items():
+        cp[inst == k] = 0.02
+        cp[inst == k, cl] = 0.9
+    sp = np.zeros((H, W, len(offsets)), np.float32)
+    for oi, (di, dj) in enumerate(offsets):
+        same = inst == np.roll(inst, (-di, -dj), (0, 1))
+        sp[..., oi] = np.where(same, 0.92, 0.08)
+    cp += rng.rand(H, W, C).astype(np.float32) * 0.05
+    sp = np.clip(sp + (rng.rand(H, W, len(offsets)).astype(np.float32)
+                       - 0.5) * 0.1, 1e-4, 1 - 1e-4)
+
+    kw = dict(num_classes=C, offsets=offsets, object_merge_factor=1.0,
+              merge_logprob_bias=0.03, return_stats=True)
+    mono = decode_hierarchical(jnp.asarray(cp), jnp.asarray(sp),
+                               edge_slots=H * W * len(offsets), **kw)
+    block = decode_hierarchical(jnp.asarray(cp), jnp.asarray(sp), **kw)
+    np.testing.assert_array_equal(np.asarray(mono[0]),
+                                  np.asarray(block[0]))
+    for st in (mono[-1], block[-1]):
+        assert int(st["edges_dropped"]) == 0
+        assert int(st["pairs_dropped"]) == 0
+    assert int(mono[-1]["n_ext"]) == int(block[-1]["n_ext"]) > 0
+
+
+def test_block_dedup_overflow_whole_pair_threshold():
+    """_block_dedup row-overflow semantics vs a numpy reference: when a
+    row holds more than `slots` unique pairs, every pair with key >=
+    T = min(row-dropped key) is dropped GLOBALLY, and every surviving
+    pair's oml is the EXACT sum over all its edges (a pair never
+    aggregates a partial edge subset)."""
+    from mergenet_tpu.decoder.device import _block_dedup
+
+    rng = np.random.RandomState(3)
+    P = 64
+    SENT = P * P
+    block, slots, pair_slots = 64, 8, 256
+    E = 500  # ~8 rows
+    # ~30 distinct pairs, skewed so some rows overflow slots=8
+    keys = rng.randint(0, 30, size=E).astype(np.int32) * 7 % SENT
+    omls = rng.randn(E).astype(np.float32)
+
+    plo, phi, pair_oml, stats = jax.jit(
+        _block_dedup, static_argnums=(2, 3, 4, 5, 6))(
+        jnp.asarray(keys), jnp.asarray(omls), P, SENT, pair_slots,
+        block, slots)
+    plo, phi = np.asarray(plo), np.asarray(phi)
+    pair_oml = np.asarray(pair_oml)
+
+    # numpy reference for the drop threshold T
+    R = -(-E // block)
+    kp = np.concatenate([keys, np.full(R * block - E, SENT, np.int32)])
+    T = SENT
+    for row in kp.reshape(R, block):
+        uniq = np.unique(row[row < SENT])
+        if len(uniq) > slots:
+            T = min(T, int(uniq[slots:].min()))
+    ref = {int(k): float(omls[keys == k].sum())
+           for k in np.unique(keys) if k < T}
+    assert T < SENT, "test scene must actually overflow a row"
+    assert len(ref) > 0
+
+    got = {int(lo) * P + int(hi): float(o)
+           for lo, hi, o in zip(plo, phi, pair_oml) if lo >= 0}
+    assert set(got) == set(ref)
+    for k in ref:
+        np.testing.assert_allclose(got[k], ref[k], rtol=1e-5, atol=1e-5)
+    # n_ext / edges_dropped are exact; pair counts are upper bounds
+    # under overflow (a pair row-dropped in several rows counts once
+    # per row) but never zero when pairs were in fact dropped
+    n_dropped_pairs = len([k for k in np.unique(keys) if k >= T])
+    assert n_dropped_pairs > 0
+    assert int(stats["pairs_dropped"]) >= n_dropped_pairs
+    assert int(stats["pairs_total"]) >= len(np.unique(keys))
+    assert int(stats["n_ext"]) == E
+    assert int(stats["edges_dropped"]) == int((keys >= T).sum())
+
+
 def test_hierarchical_decode_19_classes():
     """Cityscapes-scale class count (C=19 > the 16-class packed-stats
     limit, so the absorption stage runs its per-plane gather path):
