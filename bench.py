@@ -155,7 +155,7 @@ def main():
     import jax.numpy as jnp
     from mergenet_tpu.models import get_model, init_model
     from mergenet_tpu.core import generate_offsets
-    from mergenet_tpu.decoder.device import decode_hierarchical, relabel_mask
+    from mergenet_tpu.decoder.device import decode_hierarchical
 
     num_classes, num_offsets = 9, 10
     offsets = tuple(generate_offsets(40, num_offsets))
@@ -193,10 +193,9 @@ def main():
         # the CERTIFIED serving configuration (decode_hierarchical
         # defaults): mask-AP parity with the C++ greedy on native
         # 512x1024 trained outputs (tests/test_certification_512.py)
-        label, root_class, is_inst = decode_hierarchical(
+        mask, inst_class = decode_hierarchical(
             cp, sp, num_classes, offsets, object_merge_factor=1.0,
-            merge_logprob_bias=0.03)
-        mask, inst_class = relabel_mask(label, root_class, is_inst)
+            merge_logprob_bias=0.03, relabel=True)
         return jnp.sum(mask) + jnp.max(inst_class)
 
     x = jnp.asarray(np.random.RandomState(0)
@@ -221,10 +220,9 @@ def main():
         # mix in a zero-valued net contribution to keep the data dependency
         cp_run = cp + 0.0 * probs[..., :num_classes]
         sp_run = sp + 0.0 * probs[..., num_classes:]
-        label, root_class, is_inst = decode_hierarchical(
+        mask, inst_class = decode_hierarchical(
             cp_run, sp_run, num_classes, offsets, object_merge_factor=1.0,
-            merge_logprob_bias=0.03)
-        mask, inst_class = relabel_mask(label, root_class, is_inst)
+            merge_logprob_bias=0.03, relabel=True)
         return jnp.sum(mask) + jnp.max(inst_class)
 
     # warmup / compile

@@ -63,16 +63,24 @@ def _seg_min_scan(label, link, axis, reverse=False):
 
 def _log_domain(class_probs, sameness_probs, same_different_bias):
     """Common per-pixel preprocessing: clipped log class probs and
-    sameness log-odds (with the optional logit-domain re-bias)."""
+    sameness log-odds (with the optional logit-domain re-bias).
+
+    log_odds comes back PLANE-MAJOR (O, H, W): every downstream stage
+    reads whole per-offset planes (flood links, the Pallas absorb scan —
+    which requires this layout — and the dedup's flattened edge payload,
+    which becomes a zero-copy reshape).  Decode time is unchanged (XLA
+    fused the old minor-axis slices equally well); this is layout
+    simplification, not a measured speedup."""
     f32 = jnp.float32
     eps = f32(1.1920929e-07)
     cp = jnp.clip(class_probs.astype(f32), eps, 1.0 - eps)
-    sp = jnp.clip(sameness_probs.astype(f32), eps, 1.0 - eps)
+    sp = jnp.clip(jnp.moveaxis(sameness_probs, -1, 0).astype(f32),
+                  eps, 1.0 - eps)
     if same_different_bias:
         logit = (jnp.log(sp) - jnp.log1p(-sp) + same_different_bias)
         sp = jnp.clip(jax.nn.sigmoid(logit), eps, 1.0 - eps)
     cls_lp_pix = jnp.log(cp)                       # (H, W, C)
-    log_odds = jnp.log(sp) - jnp.log1p(-sp)        # (H, W, O)
+    log_odds = jnp.log(sp) - jnp.log1p(-sp)        # (O, H, W)
     return cls_lp_pix, log_odds
 
 
@@ -180,7 +188,7 @@ def boruvka_rolls_round(class_probs, sameness_probs, num_classes, offsets,
         best_partner = jnp.where(take, partner, best_partner)
 
     for oi, (di, dj) in enumerate(offsets):
-        oml = log_odds[:, :, oi]
+        oml = log_odds[oi]
         joint = jnp.max(cls_lp_pix + _shift2d(cls_lp_pix, di, dj, 0.0),
                         axis=-1)
         cdl = joint - best_pix - _shift2d(best_pix, di, dj, 0.0)
@@ -234,7 +242,7 @@ def _flood_fill(argmax_pix, log_odds, offsets, den_mode, omf, bias,
         """(H, W) bool: strong edge from (i, j) to (i+di, j+dj)."""
         same_cls = argmax_pix == jnp.roll(
             jnp.roll(argmax_pix, -di, axis=0), -dj, axis=1)
-        oml = log_odds[:, :, oi]
+        oml = log_odds[oi]
         if den_mode == "sum":
             pri = oml * omf / 2.0 + bias
         else:
@@ -494,7 +502,7 @@ def decode_on_device(class_probs, sameness_probs, num_classes, offsets,
     # ---------------- phase 2: edge compaction ----------------
     rows = jnp.arange(H)[:, None]
     cols = jnp.arange(W)[None, :]
-    ea_list, eb_list, eo_list, ext_list = [], [], [], []
+    ea_list, eb_list, ext_list = [], [], []
     for oi, (di, dj) in enumerate(offsets):
         b2 = jnp.roll(jnp.roll(comp2d, -di, axis=0), -dj, axis=1)
         valid = ((rows + di >= 0) & (rows + di < H) &
@@ -502,11 +510,10 @@ def decode_on_device(class_probs, sameness_probs, num_classes, offsets,
         ext = valid & (comp2d != b2)
         ea_list.append(comp2d.reshape(-1))
         eb_list.append(b2.reshape(-1))
-        eo_list.append(log_odds[:, :, oi].reshape(-1))
         ext_list.append(ext.reshape(-1))
     ea = jnp.concatenate(ea_list)
     eb = jnp.concatenate(eb_list)
-    eo = jnp.concatenate(eo_list)
+    eo = log_odds.reshape(-1)  # plane-major == concat of per-offset planes
     ext = jnp.concatenate(ext_list)
     E_all = int(ea.shape[0])
     K = E_all if max_edges is None else min(max_edges, E_all)
@@ -666,16 +673,19 @@ def relabel_mask(label, root_class, is_instance_root):
 
 
 
-def _finalize_components(comp, cls_lp, size, frozen, M, do_prune,
-                         prune_threshold):
-    """Shared epilogue of every decode path: optional prune (fold weak
-    components into the biggest background component, reference
+def _finalize_tables(cls_lp, size, frozen, M, do_prune, prune_threshold):
+    """Table-level epilogue of every decode path: optional prune (fold
+    weak components into the biggest background component, reference
     `segmenter.py:351-375`) + the instance-root mask; frozen
     (capacity-overflow) components fold to background rather than being
-    emitted as fragments."""
+    emitted as fragments.  Returns (parent (M,) int32 or None when no
+    prune relabel is needed, root_class (M,), is_instance_root (M,)) —
+    the per-pixel apply is left to the caller so it can COMPOSE the
+    table with its other relabels into one N-sized gather."""
     ids = jnp.arange(M, dtype=jnp.int32)
     root_class = jnp.argmax(cls_lp, axis=1).astype(jnp.int32)
     is_root = size > 0
+    parent = None
     if do_prune:
         best_lp = jnp.max(cls_lp, axis=1)
         advantage = best_lp - cls_lp[:, 0]
@@ -683,10 +693,20 @@ def _finalize_components(comp, cls_lp, size, frozen, M, do_prune,
         bg_root = jnp.argmax(bg_size).astype(jnp.int32)
         weak = is_root & (advantage < prune_threshold) & (ids != bg_root)
         parent = jnp.where(weak, bg_root, ids)
-        comp = parent[comp.reshape(-1)].reshape(comp.shape)
         root_class = jnp.where(weak, 0, root_class)
         is_root = is_root & ~weak
     is_instance_root = is_root & (root_class != 0) & ~frozen
+    return parent, root_class, is_instance_root
+
+
+def _finalize_components(comp, cls_lp, size, frozen, M, do_prune,
+                         prune_threshold):
+    """`_finalize_tables` + the per-pixel prune apply, for decode paths
+    that already hold a pixel-level component plane."""
+    parent, root_class, is_instance_root = _finalize_tables(
+        cls_lp, size, frozen, M, do_prune, prune_threshold)
+    if parent is not None:
+        comp = parent[comp.reshape(-1)].reshape(comp.shape)
     return comp, root_class, is_instance_root
 
 
@@ -774,8 +794,12 @@ def _block_dedup(key, oml, P, SENT, pair_slots, block, slots):
     if pad:
         key = jnp.concatenate([key, jnp.full((pad,), SENT, key.dtype)])
         oml = jnp.concatenate([oml, jnp.zeros((pad,), oml.dtype)])
+    # unstable sorts: XLA's stable sort carries an extra iota payload
+    # array through every pass; none of these sorts needs stability (run
+    # SUMS are order-independent up to compensated-cumsum rounding, and
+    # the compaction orders are unique among kept entries)
     k2, o2 = jax.lax.sort((key.reshape(R, block), oml.reshape(R, block)),
-                          dimension=1, num_keys=1)
+                          dimension=1, num_keys=1, is_stable=False)
     dead = k2 >= SENT
     first = jnp.concatenate(
         [jnp.ones((R, 1), bool), k2[:, 1:] != k2[:, :-1]], axis=1)
@@ -790,7 +814,7 @@ def _block_dedup(key, oml, P, SENT, pair_slots, block, slots):
     ordkey = jnp.where(sel & (run_id < slots), run_id,
                        slots).astype(jnp.int32)
     ord_s, k_s, t_s = jax.lax.sort((ordkey, k2, tot), dimension=1,
-                                   num_keys=1)
+                                   num_keys=1, is_stable=False)
     kept = ord_s[:, :slots] < slots
     t_sl = t_s[:, :slots]
     prev = jnp.concatenate(
@@ -799,7 +823,7 @@ def _block_dedup(key, oml, P, SENT, pair_slots, block, slots):
     pt = jnp.where(kept, t_sl - prev, 0.0).reshape(-1)
 
     # ---- global finish at R*slots entries ----
-    gk, gt = jax.lax.sort((pk, pt), num_keys=1)
+    gk, gt = jax.lax.sort((pk, pt), num_keys=1, is_stable=False)
     gdead = gk >= mindrop  # sentinels AND threshold-dropped pairs
     gfirst = jnp.concatenate([jnp.ones((1,), bool), gk[1:] != gk[:-1]])
     # number KEPT runs contiguously (dropped runs sit between kept ones
@@ -811,7 +835,8 @@ def _block_dedup(key, oml, P, SENT, pair_slots, block, slots):
     glast = jnp.concatenate([gfirst[1:], jnp.ones((1,), bool)])
     gsel = glast & ~gdead & (krun < pair_slots - 1)
     gord = jnp.where(gsel, krun, pair_slots - 1)
-    os_, pk_s, tot_s = jax.lax.sort((gord, gk, gtot), num_keys=1)
+    os_, pk_s, tot_s = jax.lax.sort((gord, gk, gtot), num_keys=1,
+                                    is_stable=False)
     valid = os_[:pair_slots] < pair_slots - 1
     plo = jnp.where(valid, pk_s[:pair_slots] // P, -1)
     phi = jnp.where(valid, pk_s[:pair_slots] % P, -1)
@@ -841,7 +866,8 @@ def _block_dedup(key, oml, P, SENT, pair_slots, block, slots):
 
 def _pair_phase(comp2d, cls_lp, size, frozen, log_odds, offsets, M2,
                 pair_slots, pair_rounds, den_mode, omf, bias, packed,
-                edge_slots=None, dedup_block=None, dedup_slots=64):
+                edge_slots=None, dedup_block=None, dedup_slots=64,
+                froz2d=None):
     """Pair dedup + aggregated Boruvka rounds (decode_hierarchical stages
     3-4; docs/decoder.md).
 
@@ -876,7 +902,8 @@ def _pair_phase(comp2d, cls_lp, size, frozen, log_odds, offsets, M2,
     f32 = jnp.float32
     P = M2 + 1
     SENT = P * P - 1 if packed else None  # > any real key; int32-safe
-    froz2d = frozen[comp2d]
+    if froz2d is None:  # callers may pass it pre-fused into a relabel
+        froz2d = frozen[comp2d]
     los, his, keys, omls = [], [], [], []
     for oi, (di, dj) in enumerate(offsets):
         c2 = _shift2d(comp2d, di, dj, -1)
@@ -889,8 +916,8 @@ def _pair_phase(comp2d, cls_lp, size, frozen, log_odds, offsets, M2,
         else:
             los.append(jnp.where(ext, lo, M2).reshape(-1))
             his.append(jnp.where(ext, hi, M2).reshape(-1))
-        omls.append(log_odds[:, :, oi].reshape(-1))
-    oml = jnp.concatenate(omls)
+    # plane-major log_odds flattens to exactly the per-offset concat order
+    oml = log_odds.reshape(-1)
     if packed and dedup_block is not None:
         # per-block pre-aggregated dedup (serving fast path); edge_slots
         # compaction is the mono path's mechanism — mutually exclusive
@@ -1086,7 +1113,8 @@ def _pair_rounds(plo, phi, pair_oml, stats, cls_lp, size, frozen, M2, P,
                      "absorb_thetas", "absorb_size_cap", "max_components",
                      "pair_components", "pair_slots", "pair_rounds",
                      "edge_slots", "dedup_block", "dedup_slots",
-                     "do_prune", "prune_threshold", "return_stats"))
+                     "do_prune", "prune_threshold", "return_stats",
+                     "relabel"))
 def decode_hierarchical(class_probs, sameness_probs, num_classes, offsets,
                         same_different_bias=0.0, object_merge_factor=1.0,
                         merge_logprob_bias=0.0, den_mode="sum",
@@ -1097,7 +1125,7 @@ def decode_hierarchical(class_probs, sameness_probs, num_classes, offsets,
                         pair_slots=16384, pair_rounds=64,
                         edge_slots=None, dedup_block=4096, dedup_slots=256,
                         do_prune=False, prune_threshold=200.0,
-                        return_stats=False):
+                        return_stats=False, relabel=False):
     """Single-dispatch hierarchical decode tuned for serving throughput.
 
     Same objective as `decode_on_device`, structured so every stage's cost
@@ -1156,6 +1184,10 @@ def decode_hierarchical(class_probs, sameness_probs, num_classes, offsets,
 
     Returns (comp (H, W) int32, root_class (M2,), is_instance_root (M2,))
     — same contract as `decode_on_device`; feed to `relabel_mask`.
+    With `relabel=True` the relabel is fused into the final gather and
+    the return is (mask (H, W) int32 with instance ids 1..K,
+    inst_class (M2,) int32) — identical to calling `relabel_mask` on the
+    default outputs, one N-sized gather cheaper (serving path).
     """
     H, W, C = class_probs.shape
     assert C == num_classes and sameness_probs.shape[-1] == len(offsets)
@@ -1185,11 +1217,20 @@ def decode_hierarchical(class_probs, sameness_probs, num_classes, offsets,
         from ..ops.pallas.absorb import absorb_best_edges, \
             absorb_scan_supported
         use_pallas = absorb_scan_supported(H, W)
-        if use_pallas:
-            log_odds_t = jnp.moveaxis(log_odds, -1, 0)
     else:
         use_pallas = False
+    # N-sized gathers dominate the decode cost (XLA lowers each to a
+    # ~3.7 ms scalar loop at 512x1024 — profiled, docs/benchmarks.md), so
+    # per-pixel relabels are COMPOSED AT TABLE LEVEL (M-sized, cheap) and
+    # applied in one gather: `tparent` accumulates the absorb rounds'
+    # parent maps; stage 3 composes it with the dense remap and the
+    # frozen flag, so absorb + re-densify + frozen lookup cost ONE
+    # N-sized gather total instead of three.
+    comp2d_s1 = comp2d  # stage-1 dense ids (the Pallas scan's labels)
+    tparent = None      # (M,) stage-1 id -> current absorb root
     for theta in absorb_thetas:
+        if tparent is not None:
+            comp2d = tparent[comp2d_s1]
         argcls = jnp.argmax(cls_lp, axis=1).astype(jnp.int32)
         if pack_stats:
             # one N-sized gather instead of three: (size, argcls, frozen)
@@ -1209,7 +1250,7 @@ def decode_hierarchical(class_probs, sameness_probs, num_classes, offsets,
             # over all offsets/directions (ops/pallas/absorb.py;
             # bit-identical to the jnp loop below)
             best_pri, best_partner = absorb_best_edges(
-                comp2d, packed_own, log_odds_t, offsets, float(theta),
+                comp2d, packed_own, log_odds, offsets, float(theta),
                 absorb_size_cap)
             plane_offsets = ()
         else:
@@ -1221,7 +1262,7 @@ def decode_hierarchical(class_probs, sameness_probs, num_classes, offsets,
             arg_nbr = _shift2d(arg_own, di, dj, -2)
             size_nbr = _shift2d(size_own, di, dj, 0)
             froz_nbr = _shift2d(froz_own, di, dj, True)
-            oml = log_odds[:, :, oi]
+            oml = log_odds[oi]
             small = jnp.minimum(size_own, size_nbr)
             ok = ((nbr >= 0) & (nbr != comp2d) & (arg_nbr == arg_own) &
                   (small <= absorb_size_cap) & (oml >= theta) &
@@ -1282,14 +1323,13 @@ def decode_hierarchical(class_probs, sameness_probs, num_classes, offsets,
         size = size + jax.ops.segment_sum(jnp.where(dying, size, 0),
                                           parent, num_segments=M)
         size = jnp.where(dying, 0, size)
-        comp2d = parent[comp2d]
+        tparent = parent if tparent is None else parent[tparent]
 
     # ---- stage 3: re-densify to M2 + pair dedup ----
     live = size > 0
     dense2 = (jnp.cumsum(live.astype(jnp.int32)) - 1).astype(jnp.int32)
     over2 = live & (dense2 >= M2)
     map2 = jnp.where(live, jnp.minimum(dense2, M2 - 1), 0)
-    comp2d = map2[comp2d]
     sel = live.astype(jnp.int32)
     cls_lp = jax.ops.segment_sum(cls_lp * sel[:, None], map2,
                                  num_segments=M2)
@@ -1297,17 +1337,40 @@ def decode_hierarchical(class_probs, sameness_probs, num_classes, offsets,
     frozen = jax.ops.segment_max(
         ((frozen | over2) & live).astype(jnp.int32), map2,
         num_segments=M2) > 0
+    # one fused N-gather: dedup id + frozen flag per pixel (see stage-2
+    # comment).  M2 <= 46339 < 2^16, so the flag rides bit 16.
+    t = map2 if tparent is None else map2[tparent]
+    t = t | jnp.where(frozen[t], 1 << 16, 0)
+    tp = t[comp2d_s1]
+    comp2d = tp & ((1 << 16) - 1)
+    froz2d = tp >= (1 << 16)
 
     total_map, cls_lp, size, stats = _pair_phase(
         comp2d, cls_lp, size, frozen, log_odds, offsets, M2, pair_slots,
         pair_rounds, den_mode, omf, bias, packed=True,
         edge_slots=edge_slots,
         dedup_block=None if edge_slots is not None else dedup_block,
-        dedup_slots=dedup_slots)
+        dedup_slots=dedup_slots, froz2d=froz2d)
 
-    comp = total_map[comp2d.reshape(-1)].reshape(H, W)
-    out = _finalize_components(comp, cls_lp, size, frozen, M2, do_prune,
-                               prune_threshold)
+    parent, root_class, is_inst = _finalize_tables(
+        cls_lp, size, frozen, M2, do_prune, prune_threshold)
+    tm = total_map if parent is None else parent[total_map]
+    if relabel:
+        # compose the instance-id table into tm so the final mask costs
+        # ONE N-sized gather (the separate relabel_mask call costs a
+        # second one); identical output to
+        # relabel_mask(tm[comp2d], root_class, is_inst)
+        inst_id = jnp.cumsum(is_inst.astype(jnp.int32))
+        idtab = jnp.where(is_inst, inst_id, 0)
+        mask = idtab[tm][comp2d.reshape(-1)].reshape(H, W)
+        k = jnp.where(is_inst, inst_id - 1, M2 - 1)
+        inst_class = jnp.full((M2,), -1, jnp.int32).at[k].max(
+            jnp.where(is_inst, root_class,
+                      jnp.full_like(root_class, -1)))
+        out = (mask, inst_class)
+    else:
+        comp = tm[comp2d.reshape(-1)].reshape(H, W)
+        out = (comp, root_class, is_inst)
     if return_stats:
         stats = dict(stats, n_frozen=jnp.sum(frozen.astype(jnp.int32)))
         return out + (stats,)

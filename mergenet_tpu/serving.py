@@ -25,7 +25,7 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import PartitionSpec as P
 
-from .decoder.device import decode_hierarchical, relabel_mask
+from .decoder.device import decode_hierarchical
 from .models import probs_at
 
 
@@ -49,13 +49,13 @@ def build_serving_pipeline(model, num_classes, offsets, mesh,
         if dtype is not None:
             x = x.astype(dtype)
         small = probs_at(model, variables, x, (dh, dw))[0]
-        comp, root_class, is_inst = decode_hierarchical(
+        mask, inst_class = decode_hierarchical(
             small[..., :num_classes], small[..., num_classes:],
             num_classes, offsets,
             same_different_bias=same_different_bias,
             object_merge_factor=object_merge_factor,
-            merge_logprob_bias=merge_logprob_bias, **(hier_kwargs or {}))
-        mask, inst_class = relabel_mask(comp, root_class, is_inst)
+            merge_logprob_bias=merge_logprob_bias, relabel=True,
+            **(hier_kwargs or {}))
         full = jax.image.resize(mask.astype(jnp.int32), (H, W), "nearest")
         return full, inst_class
 

@@ -49,8 +49,11 @@ def build_e2e_infer(model, num_classes, offsets, decode_size=None,
                   object_merge_factor=object_merge_factor,
                   merge_logprob_bias=merge_logprob_bias)
         if decode_mode == "hier":
-            label, root_class, is_inst = decode_hierarchical(
-                cp, sp, num_classes, offsets, **kw, **(hier_kwargs or {}))
+            # relabel=True fuses the instance relabel into the decode's
+            # final gather (one N-sized gather saved per frame)
+            mask, inst_class = decode_hierarchical(
+                cp, sp, num_classes, offsets, relabel=True, **kw,
+                **(hier_kwargs or {}))
         elif max_components is None and max_edges is None:
             label, root_class, is_inst = decode_on_device_staged(
                 cp, sp, num_classes, offsets, max_rounds=max_rounds, **kw)
@@ -58,7 +61,8 @@ def build_e2e_infer(model, num_classes, offsets, decode_size=None,
             label, root_class, is_inst = decode_on_device(
                 cp, sp, num_classes, offsets, max_components=max_components,
                 max_edges=max_edges, max_rounds=max_rounds, **kw)
-        mask, inst_class = relabel_mask(label, root_class, is_inst)
+        if decode_mode != "hier":
+            mask, inst_class = relabel_mask(label, root_class, is_inst)
         # nearest-neighbor upsample back to full resolution
         full = jax.image.resize(mask.astype(jnp.int32), (H, W),
                                 "nearest")

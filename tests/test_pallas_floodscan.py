@@ -64,7 +64,8 @@ def test_flood_fill_uses_kernel_equivalently():
     offsets = ((0, 1), (1, 0), (-2, 3), (4, -1))
     rng = np.random.RandomState(3)
     argmax = jnp.asarray(rng.randint(0, 4, (H, W)).astype(np.int32))
-    lo = jnp.asarray((rng.randn(H, W, len(offsets)) * 5)
+    # plane-major (O, H, W), the _log_domain layout _flood_fill consumes
+    lo = jnp.asarray((rng.randn(len(offsets), H, W) * 5)
                      .astype(np.float32))
     args = (argmax, lo, offsets, "sum", jnp.float32(1.0),
             jnp.float32(0.03), 3, 2.0)
