@@ -1314,8 +1314,10 @@ def decode_hierarchical(class_probs, sameness_probs, num_classes, offsets,
             partner = jax.ops.segment_max(
                 jnp.where(elig, partner_f, -1), own_f, num_segments=M)
             hook = (comp_best >= f32(theta)) & (partner >= 0)
-        parent = _contract(jnp.where(hook, jnp.maximum(partner, 0), ids),
-                           unroll=True)
+        # early-exit while_loop, NOT unrolled: unrolling emits
+        # ceil(log2 M) = 16 pointer-jump gathers at M=65536 (~0.47 ms
+        # each, xprof); real absorb hook forests resolve in 2-3 jumps
+        parent = _contract(jnp.where(hook, jnp.maximum(partner, 0), ids))
         dying = parent != ids
         cls_lp = cls_lp.at[parent].add(
             jnp.where(dying[:, None], cls_lp, 0.0))
