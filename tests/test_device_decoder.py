@@ -502,3 +502,49 @@ def test_hierarchical_decode_19_classes():
                 best, best_k = iou, k
         assert best > 0.9, (gt_id, best)
         assert classes_out[best_k - 1] == classes[gt_id]
+
+
+def test_hierarchical_relabel_fused_matches_relabel_mask():
+    """decode_hierarchical(relabel=True) must equal
+    relabel_mask(*decode_hierarchical(...)) exactly — the fused path
+    only composes the instance-id table into the final gather (the
+    serving/bench path depends on this equivalence)."""
+    from mergenet_tpu.decoder.device import decode_hierarchical
+
+    C = 6
+    rng = np.random.RandomState(11)
+    inst = np.zeros((64, 128), np.int32)
+    classes = {0: 0}
+    for k, (r, c, h, w) in enumerate(
+            [(4, 6, 20, 30), (30, 15, 25, 40), (10, 60, 35, 50)],
+            start=1):
+        inst[r:r + h, c:c + w] = k
+        classes[k] = 1 + k % (C - 1)
+    cp, sp = oracle_probs(inst, classes, C, OFFSETS, conf=0.9)
+    cp = np.clip(cp + rng.uniform(-0.05, 0.05, cp.shape),
+                 1e-4, 1 - 1e-4).astype(np.float32)
+    sp = np.clip(sp + rng.uniform(-0.05, 0.05, sp.shape),
+                 1e-4, 1 - 1e-4).astype(np.float32)
+    cph = jnp.asarray(np.moveaxis(cp, 0, -1))
+    sph = jnp.asarray(np.moveaxis(sp, 0, -1))
+    kw = dict(num_classes=C, offsets=OFFSETS,
+              object_merge_factor=1.0, merge_logprob_bias=0.03)
+
+    comp, rc, ii = decode_hierarchical(cph, sph, **kw)
+    want_mask, want_ic = relabel_mask(comp, rc, ii)
+    got_mask, got_ic = decode_hierarchical(cph, sph, relabel=True, **kw)
+    np.testing.assert_array_equal(np.asarray(got_mask),
+                                  np.asarray(want_mask))
+    np.testing.assert_array_equal(np.asarray(got_ic),
+                                  np.asarray(want_ic))
+    assert np.asarray(got_mask).max() >= 3  # scene actually has instances
+
+    # prune path exercises the parent-table composition too
+    comp, rc, ii = decode_hierarchical(cph, sph, do_prune=True, **kw)
+    want_mask, want_ic = relabel_mask(comp, rc, ii)
+    got_mask, got_ic = decode_hierarchical(cph, sph, do_prune=True,
+                                           relabel=True, **kw)
+    np.testing.assert_array_equal(np.asarray(got_mask),
+                                  np.asarray(want_mask))
+    np.testing.assert_array_equal(np.asarray(got_ic),
+                                  np.asarray(want_ic))
