@@ -45,6 +45,23 @@ import numpy as np
 NEG_INF = -3.0e38
 
 
+def _tgather(table, idx):
+    """out = table[idx] — via the Pallas VMEM lane-gather kernel when the
+    table fits its size bound on a TPU backend (XLA lowers the N-indexed
+    lookup to a ~3.7-5 ms scalar loop at N=512k; the kernel runs 0.7 ms
+    at M=8192 / 2.0 ms at M=65536, bit-identical for in-range int32 —
+    ops/pallas/tgather.py).  Falls back to the XLA gather elsewhere;
+    MERGENET_TGATHER=0 forces the fallback (equivalence checks)."""
+    import os
+    from ..ops.pallas.tgather import table_gather, table_gather_supported
+    if (table.dtype == jnp.int32 and table.ndim == 1
+            and os.environ.get("MERGENET_TGATHER", "1") != "0"
+            and jax.default_backend() == "tpu"
+            and table_gather_supported(idx.size, table.shape[0])):
+        return table_gather(table, idx)
+    return table[idx]
+
+
 def _seg_min_scan(label, link, axis, reverse=False):
     """Segmented min-scan: propagate the running minimum along `axis`
     through elements whose `link` flag marks them connected to their
@@ -642,7 +659,7 @@ def decode_on_device(class_probs, sameness_probs, num_classes, offsets,
     (ea, eb, total_map, cls_lp, size, frozen, _,
      rounds) = jax.lax.while_loop(cond, round_body, state)
 
-    comp = total_map[comp2d.reshape(-1)].reshape(H, W)
+    comp = _tgather(total_map, comp2d.reshape(-1)).reshape(H, W)
     return _finalize_components(comp, cls_lp, size, frozen, M, do_prune,
                                 prune_threshold)
 
@@ -658,7 +675,7 @@ def relabel_mask(label, root_class, is_instance_root):
     M = root_class.shape[0]
     inst_id = jnp.cumsum(is_instance_root.astype(jnp.int32))
     ids = jnp.where(is_instance_root, inst_id, 0)  # root -> 1..K
-    mask = ids[label.reshape(-1)].reshape(H, W)
+    mask = _tgather(ids, label.reshape(-1)).reshape(H, W)
     k = jnp.where(is_instance_root, inst_id - 1, M - 1)
     inst_class = jnp.full((M,), -1, jnp.int32)
     # scatter-max: non-instance slots write -1 into k = M-1, which must not
@@ -1230,14 +1247,14 @@ def decode_hierarchical(class_probs, sameness_probs, num_classes, offsets,
     tparent = None      # (M,) stage-1 id -> current absorb root
     for theta in absorb_thetas:
         if tparent is not None:
-            comp2d = tparent[comp2d_s1]
+            comp2d = _tgather(tparent, comp2d_s1)
         argcls = jnp.argmax(cls_lp, axis=1).astype(jnp.int32)
         if pack_stats:
             # one N-sized gather instead of three: (size, argcls, frozen)
             # packed into a single int32 per component
             packed = ((jnp.minimum(size, (1 << 26) - 1) << 5)
                       | (argcls << 1) | frozen.astype(jnp.int32))
-            packed_own = packed[comp2d]
+            packed_own = _tgather(packed, comp2d)
             arg_own = (packed_own >> 1) & 15
             size_own = packed_own >> 5
             froz_own = (packed_own & 1) == 1
@@ -1343,7 +1360,7 @@ def decode_hierarchical(class_probs, sameness_probs, num_classes, offsets,
     # comment).  M2 <= 46339 < 2^16, so the flag rides bit 16.
     t = map2 if tparent is None else map2[tparent]
     t = t | jnp.where(frozen[t], 1 << 16, 0)
-    tp = t[comp2d_s1]
+    tp = _tgather(t, comp2d_s1)
     comp2d = tp & ((1 << 16) - 1)
     froz2d = tp >= (1 << 16)
 
@@ -1364,14 +1381,14 @@ def decode_hierarchical(class_probs, sameness_probs, num_classes, offsets,
         # relabel_mask(tm[comp2d], root_class, is_inst)
         inst_id = jnp.cumsum(is_inst.astype(jnp.int32))
         idtab = jnp.where(is_inst, inst_id, 0)
-        mask = idtab[tm][comp2d.reshape(-1)].reshape(H, W)
+        mask = _tgather(idtab[tm], comp2d.reshape(-1)).reshape(H, W)
         k = jnp.where(is_inst, inst_id - 1, M2 - 1)
         inst_class = jnp.full((M2,), -1, jnp.int32).at[k].max(
             jnp.where(is_inst, root_class,
                       jnp.full_like(root_class, -1)))
         out = (mask, inst_class)
     else:
-        comp = tm[comp2d.reshape(-1)].reshape(H, W)
+        comp = _tgather(tm, comp2d.reshape(-1)).reshape(H, W)
         out = (comp, root_class, is_inst)
     if return_stats:
         stats = dict(stats, n_frozen=jnp.sum(frozen.astype(jnp.int32)))
