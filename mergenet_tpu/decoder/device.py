@@ -49,9 +49,16 @@ def _tgather(table, idx):
     """out = table[idx] — via the Pallas VMEM lane-gather kernel when the
     table fits its size bound on a TPU backend (XLA lowers the N-indexed
     lookup to a ~3.7-5 ms scalar loop at N=512k; the kernel runs 0.7 ms
-    at M=8192 / 2.0 ms at M=65536, bit-identical for in-range int32 —
-    ops/pallas/tgather.py).  Falls back to the XLA gather elsewhere;
-    MERGENET_TGATHER=0 forces the fallback (equivalence checks)."""
+    at M=8192 / 2.0 ms at M=65536, bit-identical on the full int32 index
+    domain — ops/pallas/tgather.py).  Falls back to the XLA gather
+    elsewhere; MERGENET_TGATHER=0 forces the fallback (equivalence
+    checks).  NOTE: both the env var and `jax.default_backend()` are
+    read at TRACE time — a cached jitted decode keeps whichever path it
+    traced, so toggling MERGENET_TGATHER requires `jax.clear_caches()`
+    (tests/test_tgather.py::test_tpu_decode_bit_identity does exactly
+    this), and explicit placement on a non-default device follows the
+    DEFAULT backend's choice (both paths compute identical values, so
+    this only affects speed, never results)."""
     import os
     from ..ops.pallas.tgather import table_gather, table_gather_supported
     if (table.dtype == jnp.int32 and table.ndim == 1
@@ -162,7 +169,8 @@ def _contract(parent, two_cycle_break=True, unroll=False):
                      "merge_logprob_bias"))
 def boruvka_rolls_round(class_probs, sameness_probs, num_classes, offsets,
                         same_different_bias=0.0, object_merge_factor=1.0,
-                        merge_logprob_bias=0.0, den_mode="sum"):
+                        merge_logprob_bias=0.0, den_mode="sum",
+                        hook_threshold=0.0):
     """The FIRST aggregated-Boruvka round, computed entirely with rolls.
 
     On singleton components every unordered pixel pair is linked by at most
@@ -175,6 +183,15 @@ def boruvka_rolls_round(class_probs, sameness_probs, num_classes, offsets,
     tie-break), 2-cycles resolve to the smaller id, and pointer jumping
     contracts the hooking forest.  ~100x cheaper than the sort-based round
     at full edge count.
+
+    hook_threshold: only hook pairs whose priority is >= this value
+    (default 0 = every non-negative pair, the plain Boruvka round).  A
+    positive threshold defers low-confidence pairs to later aggregated
+    rounds — the greedy-ORDER emulation that closes the exact mode's AP
+    gap (see `run_segmentation_device` and docs/decoder.md): applying
+    every weakly-positive singleton hook simultaneously commits
+    cross-instance seam merges the serial greedy would re-evaluate
+    against aggregated pair evidence and reject.
 
     Returns:
         label: (H, W) int32 root PIXEL ids (self-rooted: label[root]==root),
@@ -221,7 +238,7 @@ def boruvka_rolls_round(class_probs, sameness_probs, num_classes, offsets,
         partner_bwd = _shift2d(pix_id, -di, -dj, -1)
         consider(jnp.where(partner_bwd >= 0, pri_bwd, NEG_INF), partner_bwd)
 
-    hook = best_pri >= 0.0
+    hook = best_pri >= f32(hook_threshold)
     parent = _contract(jnp.where(hook, best_partner, pix_id).reshape(-1))
 
     ids = jnp.arange(N, dtype=jnp.int32)
@@ -884,7 +901,7 @@ def _block_dedup(key, oml, P, SENT, pair_slots, block, slots):
 def _pair_phase(comp2d, cls_lp, size, frozen, log_odds, offsets, M2,
                 pair_slots, pair_rounds, den_mode, omf, bias, packed,
                 edge_slots=None, dedup_block=None, dedup_slots=64,
-                froz2d=None):
+                froz2d=None, anneal_start=0.0, anneal_halvings=0):
     """Pair dedup + aggregated Boruvka rounds (decode_hierarchical stages
     3-4; docs/decoder.md).
 
@@ -945,7 +962,8 @@ def _pair_phase(comp2d, cls_lp, size, frozen, log_odds, offsets, M2,
             int(dedup_block), int(dedup_slots))
         return _pair_rounds(plo, phi, pair_oml, stats, cls_lp, size,
                             frozen, M2, P, SENT, pair_slots, pair_rounds,
-                            den_mode, omf, bias, packed)
+                            den_mode, omf, bias, packed,
+                            anneal_start, anneal_halvings)
     if packed:
         key = jnp.concatenate(keys)
         ext_mask = key < SENT
@@ -1031,19 +1049,31 @@ def _pair_phase(comp2d, cls_lp, size, frozen, log_odds, offsets, M2,
 
     return _pair_rounds(plo, phi, pair_oml, stats, cls_lp, size, frozen,
                         M2, P, SENT, pair_slots, pair_rounds, den_mode,
-                        omf, bias, packed)
+                        omf, bias, packed, anneal_start, anneal_halvings)
 
 
 def _pair_rounds(plo, phi, pair_oml, stats, cls_lp, size, frozen, M2, P,
                  SENT, pair_slots, pair_rounds, den_mode, omf, bias,
-                 packed):
+                 packed, anneal_start=0.0, anneal_halvings=0):
     """Aggregated Boruvka rounds over the deduped unique-pair arrays
-    (shared by the mono and block dedup paths)."""
+    (shared by the mono and block dedup paths).
+
+    anneal_start / anneal_halvings: greedy-ORDER emulation — round r
+    only applies hooks whose component-best priority is >=
+    anneal_start * 0.5^r (0 after anneal_halvings rounds), so
+    low-priority merges are deferred until the components they link have
+    grown and their aggregated pair evidence is decisive, like the
+    serial greedy's global best-first heap.  Default 0/0 = plain rounds
+    (every non-negative hook applies immediately)."""
     f32 = jnp.float32
     ids2 = jnp.arange(M2, dtype=jnp.int32)
 
     def pair_round(state):
         plo, phi, poml, total_map, cls_lp, size, _, r = state
+        tau = jnp.where(
+            r < anneal_halvings,
+            f32(anneal_start) * jnp.exp2(-r.astype(f32)),
+            f32(0.0)) if anneal_halvings else f32(0.0)
         live = (plo >= 0) & (plo != phi) & ~frozen[jnp.maximum(plo, 0)] \
             & ~frozen[jnp.maximum(phi, 0)]
         if packed:
@@ -1095,7 +1125,7 @@ def _pair_rounds(plo, phi, pair_oml, stats, cls_lp, size, frozen, M2, P,
                                 num_segments=M2),
             jax.ops.segment_max(jnp.where(elig_hi, lo_c, -1), hi_c,
                                 num_segments=M2))
-        parent = _contract(jnp.where((comp_best >= 0.0) & (partner >= 0),
+        parent = _contract(jnp.where((comp_best >= tau) & (partner >= 0),
                                      jnp.maximum(partner, 0), ids2),
                            unroll=True)
         dying = parent != ids2
@@ -1112,8 +1142,8 @@ def _pair_rounds(plo, phi, pair_oml, stats, cls_lp, size, frozen, M2, P,
         nlo = jnp.where(dead, -1, nlo)
         nhi = jnp.where(dead, -1, nhi)
         total_map = parent[total_map]
-        return (nlo, nhi, o_s, total_map, cls_lp, size,
-                ~jnp.any(dying), r + 1)
+        done = (~jnp.any(dying)) & (tau <= 0.0)
+        return (nlo, nhi, o_s, total_map, cls_lp, size, done, r + 1)
 
     state = (plo, phi, pair_oml, ids2, cls_lp, size,
              jnp.asarray(False), jnp.asarray(0))
@@ -1425,13 +1455,14 @@ def _count_unique_pairs(label2d, offsets):
                      "same_different_bias", "object_merge_factor",
                      "merge_logprob_bias", "max_components", "pair_slots",
                      "pair_rounds", "edge_slots", "do_prune",
-                     "prune_threshold"))
+                     "prune_threshold", "anneal_start", "anneal_halvings"))
 def _pair_exact_finish(class_probs, sameness_probs, num_classes, offsets,
                        initial_labels, same_different_bias=0.0,
                        object_merge_factor=1.0, merge_logprob_bias=0.0,
                        den_mode="sum", max_components=65536,
                        pair_slots=262144, pair_rounds=64, edge_slots=None,
-                       do_prune=False, prune_threshold=200.0):
+                       do_prune=False, prune_threshold=200.0,
+                       anneal_start=0.0, anneal_halvings=0):
     """Exact finisher for `run_segmentation_device`: pure aggregated
     Boruvka pair rounds from `initial_labels` (self-rooted root pixel
     ids, e.g. a `boruvka_rolls_round` result).
@@ -1460,7 +1491,8 @@ def _pair_exact_finish(class_probs, sameness_probs, num_classes, offsets,
     total_map, cls_lp, size, _ = _pair_phase(
         comp2d, cls_lp, size, frozen, log_odds, offsets, M2, pair_slots,
         pair_rounds, den_mode, omf, bias, packed=packed,
-        edge_slots=edge_slots)
+        edge_slots=edge_slots, anneal_start=anneal_start,
+        anneal_halvings=anneal_halvings)
 
     comp = total_map[comp2d.reshape(-1)].reshape(H, W)
     return _finalize_components(comp, cls_lp, size, frozen, M2, do_prune,

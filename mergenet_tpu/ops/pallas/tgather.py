@@ -15,9 +15,14 @@ approaching N — `table_gather_supported` draws the line.
 Values pass through untouched as int32 (no matmul / float round-trip),
 so packed bit-field tables (decoder stage-2 stats) gather exactly.
 
-Semantics are identical to `table[idx]` for idx in [0, M); out-of-range
-indices select chunk `hi` only if it exists, else return 0 — callers
-guarantee in-range indices (component ids are produced < M).
+Semantics are identical to `table[idx]` on the FULL int32 domain: the
+kernel wraps negative indices once (Python-style, i + M) and clamps
+into [0, M) before the lane gather — exactly what jnp's indexing
+lowers to (negative wrap + XLA gather clamp; verified on TPU).
+Decoder component ids are always in-range; the normalization costs one
+vector select + min/max per block and removes the silent-divergence
+hazard of a latent out-of-range caller bug (a kernel without it
+returns 0 for any index whose chunk row does not exist).
 """
 
 import functools
@@ -39,7 +44,12 @@ def table_gather_supported(n, m):
 
 
 def _kernel(tab_ref, idx_ref, out_ref, *, chunks):
+    # match jnp's table[idx] on the full int32 domain: negative indices
+    # wrap once (Python-style, i + M), then everything clamps into [0, M)
+    # (XLA gather's out-of-bounds clamp)
+    m = chunks * 128
     idx = idx_ref[...]                      # (R, 128) int32
+    idx = jnp.clip(jnp.where(idx < 0, idx + m, idx), 0, m - 1)
     lo = idx & 127
     hi = idx >> 7
 
@@ -56,7 +66,9 @@ def _kernel(tab_ref, idx_ref, out_ref, *, chunks):
 @functools.partial(jax.jit, static_argnames=("rows", "interpret"))
 def table_gather(table, idx, rows=_ROWS, interpret=False):
     """out[n] = table[idx[n]].  table (M,) int32, M % 128 == 0 and
-    M <= 2**17; idx any shape, values in [0, M).  Returns idx.shape."""
+    M <= 2**17; idx any shape, any int32 values (negative wraps once
+    then clamps into [0, M) — same as jnp's table[idx]).  Returns
+    idx.shape."""
     m = table.shape[0]
     assert m % 128 == 0 and m <= _MAX_TABLE, m
     shape = idx.shape

@@ -1,12 +1,16 @@
-"""Microbenchmark: Pallas one-hot-matmul table gather vs XLA's gather.
+"""Microbenchmark: Pallas VMEM lane-gather table lookup vs XLA's gather.
 
 XLA lowers an N-indexed table lookup (out[n] = table[idx[n]]) to a
 ~3.7 ms scalar loop at N=512k on v5e (docs/benchmarks.md).  For tables
-small enough to live in VMEM, the lookup can instead ride the MXU:
-factor idx = hi*128 + lo, build a (B, 128) one-hot of lo, matmul it
-against the table reshaped (128, M//128) — giving each index its value
-at EVERY chunk hi — then select the right chunk column with a compare
-and a row-sum.  f32 matmul keeps int values < 2^24 exact.
+small enough to live in VMEM, the shipped kernel
+(ops/pallas/tgather.py) keeps the table resident as (M//128, 128) rows
+and resolves each index block with a within-VREG `take_along_axis`
+lane gather over every chunk row plus a compare-select on the chunk
+id — int32 values pass through exactly (no matmul or float
+round-trip, so packed bit-field tables gather bit-exact).  An earlier
+one-hot-MXU-matmul design was measured slower and dropped.  Measured
+numbers live in the docs/benchmarks.md "Pallas table-gather kernel"
+entry.
 
 Usage: python scripts/bench_tgather.py [N] [M ...]
 """
