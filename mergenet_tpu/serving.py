@@ -12,7 +12,8 @@ This is the TPU-native replacement for the reference's multi-process
 program instead of N processes, and the decode never leaves the device.
 
 Throughput: see bench.py / the driver's BENCH_rNN.json (canonical;
-10.1 fps/chip as of round 3); per-chip decode is independent, so a
+16.65 fps/chip as of round 3 — `scripts/check_docs_numbers.py` keeps
+this number honest); per-chip decode is independent, so a
 v5e-8 slice serves ~8x that (validated for compile+execution on a
 virtual 8-device mesh by tests/test_serving.py — including a
 flagship-shape PSPFPNet parity test — and the driver's

@@ -27,6 +27,12 @@ sys.path.insert(0, ".")
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
 
 import jax  # noqa: E402
+
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join(os.path.dirname(__file__), "..",
+                               ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
+
 import jax.numpy as jnp  # noqa: E402
 
 from mergenet_tpu.decoder.device import (  # noqa: E402

@@ -1,0 +1,88 @@
+"""One fps story, enforced (VERDICT r3 #8).
+
+Rounds 1-3 each ended with two or three different headline fps numbers
+in-tree (docs written before the last perf commit landed, stale
+docstrings).  This check greps every "<N> fps/chip" claim in the docs
+and `mergenet_tpu/serving.py`, asserts they all quote ONE number, and
+asserts that number is within tolerance of the newest driver-measured
+`BENCH_rNN.json` at the repo root.  Runs in the default suite via
+tests/test_docs_numbers.py; also runnable directly:
+
+    python scripts/check_docs_numbers.py
+"""
+import glob
+import json
+import os
+import re
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+# files allowed to quote the headline; historical per-round tables use
+# the "fps (1 chip)" column wording, so only "fps/chip" is matched
+CLAIM_FILES = ["docs/benchmarks.md", "docs/roadmap.md", "docs/decoder.md",
+               "mergenet_tpu/serving.py", "README.md"]
+CLAIM_RE = re.compile(r"(\d+(?:\.\d+)?)\s*fps(?:[ -]per[ -]|/)chip")
+
+# benches drift a few percent run to run; the docs must quote the
+# driver's number, not a luckier local re-measure
+TOLERANCE = 0.10
+
+
+def latest_bench(root=ROOT):
+    paths = sorted(glob.glob(os.path.join(root, "BENCH_r*.json")))
+    if not paths:
+        return None, None
+    with open(paths[-1]) as f:
+        d = json.load(f)
+    # the driver wraps bench.py's JSON line under "parsed"
+    return d.get("parsed", d), os.path.basename(paths[-1])
+
+
+def find_claims(root=ROOT):
+    claims = []
+    for rel in CLAIM_FILES:
+        p = os.path.join(root, rel)
+        if not os.path.exists(p):
+            continue
+        with open(p) as f:
+            for i, line in enumerate(f, 1):
+                for m in CLAIM_RE.finditer(line):
+                    claims.append((rel, i, float(m.group(1))))
+    return claims
+
+
+def check(root=ROOT):
+    """Returns a list of problem strings (empty = consistent)."""
+    bench, bench_name = latest_bench(root)
+    claims = find_claims(root)
+    problems = []
+    # the 3.75 fps/chip pro-rated target is a constant, not a claim
+    measured = [c for c in claims if abs(c[2] - 3.75) > 1e-9]
+    if not measured:
+        problems.append("no '<N> fps/chip' headline found in the docs")
+        return problems
+    values = sorted({c[2] for c in measured})
+    if len(values) > 1:
+        problems.append(
+            "conflicting fps/chip headlines in-tree: " + "; ".join(
+                "%s:%d says %.4g" % c for c in measured))
+    if bench is not None:
+        v = float(bench["value"])
+        for rel, line, val in measured:
+            if abs(val - v) > TOLERANCE * v:
+                problems.append(
+                    "%s:%d claims %.4g fps/chip but %s measured %.4g "
+                    "(>%d%% off)" % (rel, line, val, bench_name, v,
+                                     TOLERANCE * 100))
+    return problems
+
+
+if __name__ == "__main__":
+    probs = check()
+    for p in probs:
+        print("DRIFT:", p)
+    if not probs:
+        b, name = latest_bench()
+        print("docs fps headline consistent with %s (%.4g fps/chip)"
+              % (name, float(b["value"]) if b else float("nan")))
+    raise SystemExit(1 if probs else 0)
