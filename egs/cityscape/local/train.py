@@ -133,9 +133,6 @@ def main():
                       dtype=jnp.bfloat16 if args.bf16 else None)
 
     use_grain = args.input_pipeline == "grain"
-    if use_grain and args.mode != "all":
-        parser.error("--input-pipeline grain supports --mode all only "
-                     "(the compact step builds class+offset targets)")
     if use_grain and not args.crop_size:
         # the grain pipeline batches fixed-size random crops; silently
         # defaulting a crop size would train differently from the
@@ -164,21 +161,39 @@ def main():
         _check_catids(parser, trainset.catIds, valset.catIds)
     elif args.mode == "class":
         offset_list = None
-        trainset = ClassDataset(args.train_img, args.train_ann,
-                                scale=args.scale, crop=args.crop,
-                                crop_size=args.crop_size, limits=args.limits)
+        if use_grain:
+            # class-only targets: the compact step one-hots the class
+            # planes on device (offsets=() selects the class slice)
+            from mergenet_tpu.data.grain_pipeline import CocoInstanceSource
+            trainset = grain_source = CocoInstanceSource(
+                args.train_img, args.train_ann, scale=args.scale,
+                limits=args.limits)
+        else:
+            trainset = ClassDataset(args.train_img, args.train_ann,
+                                    scale=args.scale, crop=args.crop,
+                                    crop_size=args.crop_size,
+                                    limits=args.limits)
         valset = ClassDataset(args.val_img, args.val_ann, scale=args.scale,
                               mode="train",
                               limits=args.val_limits or args.limits)
-        class_nms = trainset.catNms
+        class_nms = valset.catNms
         _check_catids(parser, trainset.catIds, valset.catIds)
     else:  # offset
         offset_list = generate_offsets(80 / args.scale, args.num_offsets)
         print("offsets are: {}".format(offset_list))
-        trainset = OffsetDataset(args.train_img, args.train_ann, offset_list,
-                                 scale=args.scale, crop=args.crop,
-                                 crop_size=args.crop_size,
-                                 limits=args.limits)
+        if use_grain:
+            # offset-only targets: num_classes=0 selects the sameness
+            # planes at device-side target build
+            from mergenet_tpu.data.grain_pipeline import CocoInstanceSource
+            trainset = grain_source = CocoInstanceSource(
+                args.train_img, args.train_ann, scale=args.scale,
+                limits=args.limits)
+        else:
+            trainset = OffsetDataset(args.train_img, args.train_ann,
+                                     offset_list, scale=args.scale,
+                                     crop=args.crop,
+                                     crop_size=args.crop_size,
+                                     limits=args.limits)
         valset = OffsetDataset(args.val_img, args.val_ann, offset_list,
                                scale=args.scale, mode="train",
                                limits=args.val_limits or args.limits)
@@ -239,9 +254,12 @@ def main():
     if use_grain:
         from mergenet_tpu.parallel import build_train_step_compact
         train_step = build_train_step_compact(
-            num_classes, tuple(tuple(o) for o in offset_list),
-            alpha=args.alpha, criterion_cls=get_loss_fn("bce"),
-            criterion_ofs=loss_fn, mesh=mesh, remat=args.remat,
+            num_classes,
+            tuple(tuple(o) for o in offset_list) if num_offsets else (),
+            alpha=args.alpha,
+            criterion_cls=get_loss_fn("bce") if num_classes else None,
+            criterion_ofs=loss_fn if num_offsets else None,
+            mesh=mesh, remat=args.remat,
             aux_weight=args.aux_weight if args.arch == "pspnet" else 0.0)
     else:
         train_step = build_train_step(

@@ -132,15 +132,18 @@ def test_full_cityscape_pipeline(tiny_dataset, tmp_path):
     assert "Average Precision" in out
 
 
-def test_train_recipe_grain_pipeline(tiny_dataset, tmp_path):
-    """VERDICT r2 #3: the production (grain) input pipeline is reachable
-    from the actual train recipe: `--input-pipeline grain` trains
-    end-to-end with device-side target building and writes the same
-    checkpoint layout as the loader path."""
+@pytest.mark.parametrize("mode", ["all", "class", "offset"])
+def test_train_recipe_grain_pipeline(tiny_dataset, tmp_path, mode):
+    """VERDICT r2 #3 / r3 #9: the production (grain) input pipeline is
+    reachable from the actual train recipe in EVERY training mode
+    (reference train.py:103-106 trains class-only and offset-only models
+    as first-class modes): `--input-pipeline grain` trains end-to-end
+    with device-side target building and writes the same checkpoint
+    layout as the loader path."""
     pytest.importorskip("grain")
     root, ann = tiny_dataset
-    exp = os.path.join(str(tmp_path), "grain_all")
-    _run("train.py", exp, "--mode", "all", "--input-pipeline", "grain",
+    exp = os.path.join(str(tmp_path), "grain_" + mode)
+    _run("train.py", exp, "--mode", mode, "--input-pipeline", "grain",
          "--train-img", root, "--val-img", root,
          "--train-ann", ann, "--val-ann", ann,
          "--num-classes", "3", "--num-offsets", "3",
