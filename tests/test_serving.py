@@ -41,12 +41,14 @@ def test_serving_matches_single_device_e2e():
                                   np.asarray(ref_classes))
 
 
-@pytest.mark.slow
-def test_serving_flagship_shape_parity():
-    """VERDICT r2 #4b: the serving pipeline at FLAGSHIP shapes — PSPFPNet
-    (the recipes' default arch) on the 8-device CPU mesh with a realistic
-    256x512 decode and the certified decode capacities — multi-device
-    output equals the single-device e2e bit-for-bit."""
+def test_serving_flagship_arch_parity():
+    """VERDICT r2 #4b / r3 #6: the serving pipeline on the FLAGSHIP arch —
+    PSPFPNet (the recipes' default) on the 8-device CPU mesh with the
+    certified decode capacities — multi-device output equals the
+    single-device e2e bit-for-bit.  Geometry is halved (256x512 input,
+    128x256 decode) to fit the default suite; the FULL flagship geometry
+    (512x1024 input, the reference 256x512 decode) runs in the driver's
+    `dryrun_multichip` gate every round."""
     from mergenet_tpu.models import get_model
 
     num_classes, num_offsets = 9, 10
@@ -55,15 +57,15 @@ def test_serving_flagship_shape_parity():
     model = get_model(num_classes, num_offsets, "pspfpnet")
     params, bs = init_model(model, jax.random.PRNGKey(0), (1, 128, 128, 3))
     variables = {"params": params, "batch_stats": bs}
-    imgs = jax.random.uniform(jax.random.PRNGKey(1), (8, 512, 1024, 3))
+    imgs = jax.random.uniform(jax.random.PRNGKey(1), (8, 256, 512, 3))
 
     ref_infer = build_e2e_infer(model, num_classes, offsets,
-                                decode_size=(256, 512), decode_mode="hier")
+                                decode_size=(128, 256), decode_mode="hier")
     ref_masks, ref_classes = ref_infer(variables, imgs[:2])
 
     mesh = make_mesh(data=8)
     serve = build_serving_pipeline(model, num_classes, offsets, mesh,
-                                   decode_size=(256, 512))
+                                   decode_size=(128, 256))
     imgs_sh = jax.device_put(imgs, batch_sharding(mesh))
     masks, classes = serve(variables, imgs_sh)
 
@@ -71,3 +73,68 @@ def test_serving_flagship_shape_parity():
                                   np.asarray(ref_masks))
     np.testing.assert_array_equal(np.asarray(classes)[:2],
                                   np.asarray(ref_classes))
+
+
+def test_overflow_fallback_redecodes_exactly():
+    """VERDICT r3 #2: an over-budget scene must not silently under-merge.
+    With overflow_fallback=True the pipeline reports per-frame overflow
+    telemetry and transparently re-decodes flagged frames with the exact
+    mode (run_segmentation_device) — the served mask must equal the
+    fallback decoder's own output, while in-budget frames keep the fast
+    path's mask."""
+    from mergenet_tpu.decoder.device import run_segmentation_device
+    from mergenet_tpu.models import probs_at
+
+    num_classes, offsets = 3, ((0, 1), (1, 0))
+    model = UNet(num_classes, len(offsets), depth=2, start_filts=8)
+    params, bs = init_model(model, jax.random.PRNGKey(0), (1, 32, 32, 3))
+    variables = {"params": params, "batch_stats": bs}
+    imgs = jax.random.uniform(jax.random.PRNGKey(1), (8, 32, 32, 3))
+    mesh = make_mesh(data=8)
+    imgs_sh = jax.device_put(imgs, batch_sharding(mesh))
+
+    # capacities far below a random-weights scene's pair/edge counts:
+    # every frame overflows (pairs dropped / components frozen)
+    tight = dict(max_components=64, pair_components=32, pair_slots=16,
+                 edge_slots=128)
+    serve = build_serving_pipeline(model, num_classes, offsets, mesh,
+                                   decode_size=(16, 16),
+                                   hier_kwargs=tight,
+                                   overflow_fallback=True)
+    masks, classes, overflow = serve(variables, imgs_sh)
+    overflow = np.asarray(overflow)
+    assert overflow.sum() > 0, "scene was supposed to overflow"
+
+    # expected: the exact decoder's own output for every flagged frame
+    for b in np.nonzero(overflow)[0][:2]:
+        small = np.asarray(
+            probs_at(model, variables, imgs[b][None], (16, 16))[0],
+            np.float32)
+        emask, ecls = run_segmentation_device(
+            np.moveaxis(small[..., :num_classes], -1, 0),
+            np.moveaxis(small[..., num_classes:], -1, 0),
+            num_classes, offsets, mode="exact")
+        efull = jax.image.resize(jnp.asarray(emask, jnp.int32), (32, 32),
+                                 "nearest")
+        np.testing.assert_array_equal(np.asarray(masks)[b],
+                                      np.asarray(efull))
+        np.testing.assert_array_equal(
+            np.asarray(classes)[b][:len(ecls)], np.asarray(ecls))
+        assert (np.asarray(classes)[b][len(ecls):] == -1).all()
+
+    # an in-budget scene keeps the fast path untouched and reports zero
+    # dedup_slots must cover the ~all-unique pair runs of this random
+    # scene (the certified defaults are sized for trained outputs)
+    roomy_kw = dict(max_components=1024, pair_components=256,
+                    pair_slots=4096, dedup_slots=512)
+    roomy = build_serving_pipeline(
+        model, num_classes, offsets, mesh, decode_size=(16, 16),
+        hier_kwargs=roomy_kw, overflow_fallback=True)
+    m2, c2, ov2 = roomy(variables, imgs_sh)
+    assert np.asarray(ov2).sum() == 0
+    plain = build_serving_pipeline(
+        model, num_classes, offsets, mesh, decode_size=(16, 16),
+        hier_kwargs=roomy_kw)
+    m3, c3 = plain(variables, imgs_sh)
+    np.testing.assert_array_equal(np.asarray(m2), np.asarray(m3))
+    np.testing.assert_array_equal(np.asarray(c2), np.asarray(c3))
