@@ -7,10 +7,11 @@ Prints ONE JSON line:
   {"metric": "...", "value": N, "unit": "fps", "vs_baseline": N}
 
 Methodology: the net stage is timed on a full-res input; the decode stage
-— whose cost is data-dependent — is timed on a COMMITTED certification
-fixture (a real trained-PSPFPNet output at the native 512x1024 decode
-size, tests/fixtures/certification512) so the benchmark workload is
-exactly the one the quality certification measured; when fixtures are
+— whose cost is data-dependent — is timed over ALL committed
+certification fixtures (real trained-PSPFPNet outputs at the native
+512x1024 decode size, tests/fixtures/certification512) and reported as
+the across-fixture mean with min/max spread, so the benchmark workload
+is exactly the one the quality certification measured; when fixtures are
 absent it falls back to a synthetic scene calibrated to measured
 trained-output statistics (`_trained_stats_scene`; an untrained net's
 random outputs are a near-worst case and say nothing about deployment).
@@ -115,13 +116,61 @@ def _trained_stats_scene(DH, DW, num_classes, offsets, seed=0):
             np.clip(sp, 1e-4, 1 - 1e-4).astype(np.float32))
 
 
-def _fixture_scene():
-    """Committed certification fixture: a REAL trained-PSPFPNet output at
+#: npz key separator of the exported checkpoint tree
+#: (scripts/export_bench_checkpoint.py writes, this reads)
+_SEP = "|"
+
+
+def _unflatten_tree(npz, prefix):
+    tree = {}
+    for key in npz.files:
+        if not key.startswith(prefix + _SEP):
+            continue
+        parts = key[len(prefix) + 1:].split(_SEP)
+        node = tree
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = npz[key]
+    return tree
+
+
+def load_bench_checkpoint(path):
+    """(params, batch_stats) from a committed bench_ckpt.npz."""
+    npz = np.load(path)
+    return _unflatten_tree(npz, "p"), _unflatten_tree(npz, "b")
+
+
+def _bench_checkpoint():
+    """Committed trained PSPFPNet weights + one val image
+    (tests/fixtures/certification512/bench_{ckpt.npz,img.png}, written by
+    scripts/export_bench_checkpoint.py): the fused e2e stage then runs
+    real weights on a real image and decodes the net's OWN outputs
+    (VERDICT r3 #5).  Returns (params, batch_stats, img_u8) or None."""
+    import os
+    fix = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                       "tests", "fixtures", "certification512")
+    ck = os.path.join(fix, "bench_ckpt.npz")
+    im = os.path.join(fix, "bench_img.png")
+    if not (os.path.exists(ck) and os.path.exists(im)):
+        return None
+    try:
+        import cv2
+        img = cv2.cvtColor(cv2.imread(im), cv2.COLOR_BGR2RGB)
+    except Exception:
+        return None
+    params, batch_stats = load_bench_checkpoint(ck)
+    return params, batch_stats, img
+
+
+def _fixture_scenes():
+    """Committed certification fixtures: REAL trained-PSPFPNet outputs at
     the native 512x1024 decode size (tests/fixtures/certification512,
     written by scripts/make_certification_fixtures.py).  Preferred over
     the synthetic calibrated scene — the decode benchmark then runs on
-    exactly the workload the quality certification measured.  Returns
-    (cp, sp, offsets) or None when fixtures are not generated."""
+    exactly the workload the quality certification measured, and over
+    ALL committed images (decode cost is data-dependent; the honest
+    number is the mean with spread, VERDICT r3 #5).  Returns
+    (list[(cp, sp)], offsets) or None when fixtures are not generated."""
     import os
     fix = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                        "tests", "fixtures", "certification512")
@@ -131,11 +180,45 @@ def _fixture_scene():
                  for f in os.listdir(fix) if f.startswith("probs_"))
     if not ids or not os.path.exists(os.path.join(fix, "offsets.npy")):
         return None
-    d = np.load(os.path.join(fix, "probs_%d.npz" % ids[0]))
     offsets = tuple(tuple(int(x) for x in o)
                     for o in np.load(os.path.join(fix, "offsets.npy")))
-    return (d["cp"].astype(np.float32), d["sp"].astype(np.float32),
-            offsets)
+    scenes = []
+    for i in ids:
+        d = np.load(os.path.join(fix, "probs_%d.npz" % i))
+        scenes.append((d["cp"].astype(np.float32),
+                       d["sp"].astype(np.float32)))
+    return scenes, offsets
+
+
+#: bf16 MXU peak per chip, by device kind (fp32 data also rides the MXU
+#: at the bf16 rate on v5e/v6e via bf16x3 passes or is VPU-bound; the
+#: bf16 number is the honest denominator for a bf16-compute net)
+_PEAK_BF16_FLOPS = {
+    "TPU v4": 275e12, "TPU v5 lite": 197e12, "TPU v5e": 197e12,
+    "TPU v5p": 459e12, "TPU v6 lite": 918e12, "TPU v6e": 918e12,
+}
+
+
+def _peak_flops():
+    import jax
+    kind = jax.devices()[0].device_kind
+    for k, v in _PEAK_BF16_FLOPS.items():
+        if kind.lower().startswith(k.lower()):
+            return v, kind
+    return 197e12, kind  # assume v5e-class when unrecognized
+
+
+def _compiled_flops(jitted, *args):
+    """Analytic FLOP count of a jitted function via XLA's cost model;
+    None when the backend does not expose cost_analysis (MFU is then
+    omitted rather than guessed)."""
+    try:
+        cost = jitted.lower(*args).compile().cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        return float(cost["flops"])
+    except Exception:
+        return None
 
 
 def main():
@@ -162,20 +245,27 @@ def main():
     H, W = 1024, 2048            # full-res input
     DH, DW = 512, 1024           # decode size (reference segment.py:93)
 
-    fixture = _fixture_scene()
+    fixture = _fixture_scenes()
     if fixture is not None:
-        cp_np, sp_np, offsets = fixture
+        scenes, offsets = fixture
+        cp_np, sp_np = scenes[0]
         DH, DW = cp_np.shape[:2]
         num_classes = cp_np.shape[-1]
         num_offsets = len(offsets)
 
     model = get_model(num_classes, num_offsets, "pspfpnet")
-    params, batch_stats = init_model(model, jax.random.PRNGKey(0),
-                                     (1, 256, 256, 3))
-    variables = {"params": params, "batch_stats": batch_stats}
+    ckpt = _bench_checkpoint()
+    if ckpt is not None:
+        params, batch_stats, bench_img = ckpt
+        variables = {"params": params, "batch_stats": batch_stats}
+    else:
+        params, batch_stats = init_model(model, jax.random.PRNGKey(0),
+                                         (1, 256, 256, 3))
+        variables = {"params": params, "batch_stats": batch_stats}
     variables = jax.tree_util.tree_map(
-        lambda a: a.astype(jnp.bfloat16)
-        if a.dtype == jnp.float32 else a, variables)
+        lambda a: jnp.asarray(a, jnp.bfloat16)
+        if np.issubdtype(np.asarray(a).dtype, np.floating) else
+        jnp.asarray(a), variables)
 
     @jax.jit
     def net(v, x):
@@ -198,68 +288,122 @@ def main():
             merge_logprob_bias=0.03, relabel=True)
         return jnp.sum(mask) + jnp.max(inst_class)
 
-    x = jnp.asarray(np.random.RandomState(0)
-                    .rand(1, H, W, 3).astype(np.float32))
-    if fixture is not None:
-        cp, sp = cp_np, sp_np
+    if ckpt is not None:
+        # real val image upscaled to the full-res input size: the fused
+        # e2e path then measures the net's own outputs being decoded
+        import cv2
+        x_np = cv2.resize(bench_img, (W, H),
+                          interpolation=cv2.INTER_LINEAR)
+        x = jnp.asarray(x_np.astype(np.float32)[None] / 256.0)
     else:
-        cp, sp = _trained_stats_scene(DH, DW, num_classes, offsets)
-    cp, sp = jnp.asarray(cp), jnp.asarray(sp)
+        x = jnp.asarray(np.random.RandomState(0)
+                        .rand(1, H, W, 3).astype(np.float32))
+    if fixture is not None:
+        pairs = [(jnp.asarray(c), jnp.asarray(s)) for c, s in scenes]
+    else:
+        c, s = _trained_stats_scene(DH, DW, num_classes, offsets)
+        pairs = [(jnp.asarray(c), jnp.asarray(s))]
+    cp, sp = pairs[0]
 
     @jax.jit
     def e2e(v, x, cp, sp):
         # the REAL serving pipeline (infer_e2e/serving.py): net forward +
-        # decode in ONE dispatch, no host round trip.  The decode runs on
-        # the calibrated trained-stats scene (see module docstring) rather
-        # than this random-weights net's own probs, so the workload is the
-        # measured-deployment one; the net output still participates so
-        # both stages execute back to back in one program.
+        # decode in ONE dispatch, no host round trip.  With the committed
+        # trained checkpoint (bench_ckpt.npz) the decode consumes the
+        # net's OWN sigmoid outputs on a real val image (VERDICT r3 #5);
+        # without it, the decode runs on the calibrated trained-stats
+        # scene (a random-weights net's own probs are a meaningless
+        # workload), with a zero-valued net contribution keeping the
+        # data dependency so both stages execute in one program.
         logits = model.apply(v, x.astype(jnp.bfloat16), train=False,
                              output_size=(DH, DW))
         probs = jax.nn.sigmoid(logits.astype(jnp.float32))[0]
-        # mix in a zero-valued net contribution to keep the data dependency
-        cp_run = cp + 0.0 * probs[..., :num_classes]
-        sp_run = sp + 0.0 * probs[..., num_classes:]
+        if ckpt is not None:
+            cp_run = probs[..., :num_classes]
+            sp_run = probs[..., num_classes:]
+        else:
+            cp_run = cp + 0.0 * probs[..., :num_classes]
+            sp_run = sp + 0.0 * probs[..., num_classes:]
         mask, inst_class = decode_hierarchical(
             cp_run, sp_run, num_classes, offsets, object_merge_factor=1.0,
             merge_logprob_bias=0.03, relabel=True)
         return jnp.sum(mask) + jnp.max(inst_class)
 
+    # AOT-compile the net ONCE: the same executable serves the timing
+    # loop and the MFU cost analysis (lower().compile() would otherwise
+    # recompile the whole 1024x2048 forward a second time)
+    net_c = net.lower(variables, x).compile()
+
     # warmup / compile
-    float(net(variables, x))
+    float(net_c(variables, x))
     float(decode(cp, sp))
     float(e2e(variables, x, cp, sp))
 
     n_iters = 8
     t0 = time.time()
     for _ in range(n_iters):
-        r = net(variables, x)
+        r = net_c(variables, x)
     float(r)
     t_net = (time.time() - t0) / n_iters
 
-    t0 = time.time()
-    for _ in range(n_iters):
-        r = decode(cp, sp)
-    float(r)
-    t_decode = (time.time() - t0) / n_iters
+    def time_scenes(fn, *lead, scenes=None):
+        """Per-fixture mean seconds (decode cost is data-dependent —
+        VERDICT r3 #5: time EVERY committed fixture, report spread)."""
+        per = []
+        iters = max(3, n_iters // max(1, len(pairs) // 2))
+        for c, s in (pairs if scenes is None else scenes):
+            float(fn(*lead, c, s))  # per-scene warmup (no recompile)
+            t0 = time.time()
+            for _ in range(iters):
+                r = fn(*lead, c, s)
+            float(r)
+            per.append((time.time() - t0) / iters)
+        return per
 
-    t0 = time.time()
-    for _ in range(n_iters):
-        r = e2e(variables, x, cp, sp)
-    float(r)
-    t_e2e = (time.time() - t0) / n_iters
+    per_decode = time_scenes(decode)
+    t_decode = float(np.mean(per_decode))
+    if ckpt is not None:
+        # decode input is the net's OWN output — the fixture scenes do
+        # not enter the computation, so one timing series suffices
+        per_e2e = time_scenes(e2e, variables, x, scenes=pairs[:1])
+    else:
+        per_e2e = time_scenes(e2e, variables, x)
+    t_e2e = float(np.mean(per_e2e))
 
     fps = 1.0 / min(t_e2e, t_net + t_decode)
     n_chips = len(jax.devices())
     target = 30.0 / 8.0 * n_chips
+    detail = {"net_ms": round(t_net * 1000, 2),
+              "decode_ms": round(t_decode * 1000, 2),
+              "e2e_fused_ms": round(t_e2e * 1000, 2),
+              "n_fixtures": len(pairs),
+              "decode_ms_min": round(min(per_decode) * 1000, 2),
+              "decode_ms_max": round(max(per_decode) * 1000, 2),
+              "e2e_ms_min": round(min(per_e2e) * 1000, 2),
+              "e2e_ms_max": round(max(per_e2e) * 1000, 2),
+              "e2e_decodes_own_probs": ckpt is not None}
+    # MFU of the net forward (VERDICT r3 #4): analytic XLA FLOP count /
+    # measured time / bf16 MXU peak — says whether the next perf round
+    # should attack the net at all (decode is gather/sort-bound, not
+    # FLOP-bound; an MFU number there would be meaningless)
+    try:
+        cost = net_c.cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        flops = float(cost["flops"])
+    except Exception:
+        flops = None
+    if flops is not None:
+        peak, kind = _peak_flops()
+        detail["net_gflops"] = round(flops / 1e9, 1)
+        detail["net_mfu"] = round(flops / t_net / peak, 4)
+        detail["device_kind"] = kind
     print(json.dumps({
         "metric": "cityscapes_1024x2048_net_plus_merge_fps",
         "value": round(fps, 4),
         "unit": "frames/sec",
         "vs_baseline": round(fps / target, 4),
-        "detail": {"net_ms": round(t_net * 1000, 2),
-                   "decode_ms": round(t_decode * 1000, 2),
-                   "e2e_fused_ms": round(t_e2e * 1000, 2)},
+        "detail": detail,
     }))
 
 

@@ -67,10 +67,12 @@ def mask_to_results(mask, classes, img_id):
     return out
 
 
-def ap_of(coco, results):
+def ap_of(coco, results, img_ids=None):
     if not results:
         return 0.0, 0.0
     E = COCOeval(coco, coco.loadRes(results), "segm")
+    if img_ids is not None:
+        E.params.imgIds = list(img_ids)
     E.evaluate()
     E.accumulate()
     with contextlib.redirect_stdout(io.StringIO()):
@@ -134,10 +136,18 @@ def main():
                 n, time.time() - t0, n_comp // 1000, n_pairs // 1000))
         print("  ".join(line), flush=True)
 
-    print("\n=== AP over %d fixtures ===" % len(ids))
+    print("\n=== AP over %d fixtures (imgIds-restricted) ===" % len(ids))
     for n in ["cpp", "hier"] + names:
-        ap, ap50 = ap_of(coco, res[n])
+        ap, ap50 = ap_of(coco, res[n], img_ids=ids)
         print("%-8s AP %.4f  AP50 %.4f" % (n, ap, ap50), flush=True)
+    print("\n=== per-image AP ===")
+    for i in ids:
+        row = ["img %d:" % i]
+        for n in ["cpp", "hier"] + names:
+            sub = [r for r in res[n] if r["image_id"] == i]
+            ap, _ = ap_of(coco, sub, img_ids=[i])
+            row.append("%s %.4f" % (n, ap))
+        print("  ".join(row), flush=True)
 
 
 if __name__ == "__main__":

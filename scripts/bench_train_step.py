@@ -63,8 +63,18 @@ def main():
         dt = (time.time() - t0) / iters * 1000
         if profile and name.startswith("bf16 b8"):
             jax.profiler.stop_trace()
-        print("%-42s %7.1f ms  %6.1f img/s"
-              % (name, dt, batch / dt * 1000))
+        # train-step MFU (VERDICT r3 #4): XLA analytic FLOPs (fwd + bwd
+        # + optimizer) / time / bf16 MXU peak
+        sys.path.insert(0, "/root/repo")
+        from bench import _compiled_flops, _peak_flops
+        flops = _compiled_flops(step, state, img, tgt, key)
+        mfu = ""
+        if flops is not None:
+            peak, _ = _peak_flops()
+            mfu = "  MFU %.1f%% (%.0f GF/step)" % (
+                flops / (dt / 1000) / peak * 100, flops / 1e9)
+        print("%-42s %7.1f ms  %6.1f img/s%s"
+              % (name, dt, batch / dt * 1000, mfu))
 
 
 if __name__ == "__main__":
