@@ -20,17 +20,21 @@ Two decoders share the building blocks (full design: docs/decoder.md):
     (tests/test_decoder_certification.py, docs/benchmarks.md).
 
   * `decode_on_device` / `run_segmentation_device` — the progressive
-    exact mode (the on-device oracle): a rolls-only first Boruvka round
-    (`boruvka_rolls_round`, exact on singletons), then capped aggregated
-    stages with capacities bucketed from MEASURED live counts
-    (overflow-impossible).
+    exact mode (the overflow-proof serving FALLBACK and on-device
+    quality reference): a rolls-only first Boruvka round
+    (`boruvka_rolls_round`, exact on singletons), then ANNEALED
+    aggregated pair rounds (greedy-order emulation; see the root-cause
+    note in docs/decoder.md "Exact mode") with capacities bucketed from
+    MEASURED live counts (overflow-impossible).
 
 Both satisfy the greedy's fixed-point condition; priority formulas match
 the reference exactly ((oml*factor + class_delta)/(n1+n2) + bias,
 `segment.cc:145-150`, or the 'product' variant `segmenter.py:189-193`).
-Greedy equivalence is exact on oracle inputs and held at the instance-AP
-level on trained-model outputs (tests/test_device_decoder.py,
-tests/test_decoder_certification.py).
+Greedy equivalence is exact on oracle inputs; on trained-model outputs
+the fixed points differ (merge order matters) and both modes measure
+AHEAD of the C++ greedy on instance AP — hier +4.9, annealed exact +1.5
+over a 50-image 512x1024 val sweep (docs/decoder.md,
+tests/test_device_decoder.py, tests/test_decoder_certification.py).
 
 Layout: channel-last (H, W, C)/(H, W, O) — what the nets emit — so forward
 + decode runs end-to-end on device with no transpose or host round-trip.
@@ -1059,21 +1063,31 @@ def _pair_rounds(plo, phi, pair_oml, stats, cls_lp, size, frozen, M2, P,
     (shared by the mono and block dedup paths).
 
     anneal_start / anneal_halvings: greedy-ORDER emulation — round r
-    only applies hooks whose component-best priority is >=
-    anneal_start * 0.5^r (0 after anneal_halvings rounds), so
-    low-priority merges are deferred until the components they link have
-    grown and their aggregated pair evidence is decisive, like the
-    serial greedy's global best-first heap.  Default 0/0 = plain rounds
-    (every non-negative hook applies immediately)."""
+    only applies hooks whose component-best priority is >= tau_r (0
+    after anneal_halvings rounds), so low-priority merges are deferred
+    until the components they link have grown and their aggregated pair
+    evidence is decisive, like the serial greedy's global best-first
+    heap.  tau_r is the fixed sweep anneal_start * 0.5^r while that is
+    attainable (<= the round's best positive priority maxpri_r), else
+    maxpri_r / 2 — so a scene whose hyperparameters produce priorities
+    far below anneal_start still anneals (ordering the top half of what
+    exists) instead of wasting its halvings above the whole priority
+    range, and every annealed round applies at least the best merge.
+    Schedule selection measured on a 50-image 512x1024 trained-output
+    sweep + synthetic oracle scenes
+    (tests/fixtures/certification512/exact_anneal_r4.json,
+    docs/decoder.md): plain rounds = -3.0 AP vs the C++ greedy;
+    fixed-8.0/8 = +2.0 AP but loses oracle scenes whose priority scale
+    is ~0.2; pure maxpri-tracking = scale-free but never orders the
+    weak-seam band (-0.8 AP); min(fixed, maxpri/2) every round = +0.6;
+    this attainability form keeps the full +2.0 on the sweep AND the
+    oracle scenes.  Default 0/0 = plain rounds (every non-negative hook
+    applies immediately)."""
     f32 = jnp.float32
     ids2 = jnp.arange(M2, dtype=jnp.int32)
 
     def pair_round(state):
         plo, phi, poml, total_map, cls_lp, size, _, r = state
-        tau = jnp.where(
-            r < anneal_halvings,
-            f32(anneal_start) * jnp.exp2(-r.astype(f32)),
-            f32(0.0)) if anneal_halvings else f32(0.0)
         live = (plo >= 0) & (plo != phi) & ~frozen[jnp.maximum(plo, 0)] \
             & ~frozen[jnp.maximum(phi, 0)]
         if packed:
@@ -1118,6 +1132,20 @@ def _pair_rounds(plo, phi, pair_oml, stats, cls_lp, size, frozen, M2, P,
             jax.ops.segment_max(pri_lo, lo_c, num_segments=M2),
             jax.ops.segment_max(pri_hi, hi_c, num_segments=M2))
         comp_best = jnp.where(jnp.isfinite(comp_best), comp_best, NEG_INF)
+        if not anneal_halvings:
+            tau = f32(0.0)
+        else:
+            maxpri = jnp.maximum(
+                jnp.max(jnp.where(jnp.isfinite(comp_best),
+                                  comp_best, 0.0)), 0.0)
+            fixed = f32(anneal_start) * jnp.exp2(-r.astype(f32))
+            # fixed schedule while attainable; when it sits above the
+            # scene's whole priority range (a wasted round otherwise),
+            # order the top half of what actually exists instead
+            tau = jnp.where(r < anneal_halvings,
+                            jnp.where(fixed <= maxpri, fixed,
+                                      0.5 * maxpri),
+                            f32(0.0))
         elig_lo = (pri_lo == comp_best[lo_c]) & ~dead & hi_up
         elig_hi = (pri_hi == comp_best[hi_c]) & ~dead & ~hi_up
         partner = jnp.maximum(
@@ -1580,17 +1608,34 @@ def run_segmentation_device(class_probs, sameness_probs, num_classes,
                             den_mode="sum", do_prune=False,
                             prune_threshold=200.0, max_rounds=48,
                             max_components=None, max_edges=None,
-                            mode="exact", return_stats=False):
+                            mode="exact", return_stats=False,
+                            anneal_start=8.0, anneal_halvings=8):
     """Host-friendly wrapper with the csegment.run_segmentation signature:
     accepts channel-first (C, H, W)/(O, H, W) numpy arrays and returns
     (mask, object_class list).
 
     mode='exact' (default, no capacity caps) = progressive recompaction:
-    the rolls-only round collapses singletons, then capped aggregated
-    stages run with capacities bucketed from the MEASURED component/edge
-    counts — overflow-proof (no frozen components, unlike static caps),
-    and each stage's sorts shrink with the survivor count.  NOTE: the
-    bucketing (next power of two, `_bucket`) means a heterogeneous image
+    the rolls-only round collapses singletons, then ANNEALED aggregated
+    pair rounds run with capacities bucketed from the MEASURED
+    component/edge counts — overflow-proof (no frozen components, unlike
+    static caps), and each stage's sorts shrink with the survivor count.
+
+    anneal_start / anneal_halvings (exact mode only): greedy-ORDER
+    emulation in the pair rounds — round r only applies merges whose
+    component-best priority is >= anneal_start * 0.5^r (0 after
+    anneal_halvings rounds), so weakly-positive merges are deferred
+    until the components they link have grown and the aggregated pair
+    evidence is decisive, like the serial greedy's global best-first
+    heap.  WHY this is the default: with tau fixed at 0 every
+    weakly-positive hook applies in round 1, committing cross-instance
+    seam merges the greedy would re-evaluate and reject — measured
+    -3.0 AP vs the C++ greedy over a 50-image 512x1024 val set,
+    concentrated in ~10 frames (worst -45 AP/frame); with the 8.0/8
+    schedule the same sweep measures +1.5 AP AHEAD of the greedy
+    (docs/decoder.md "Exact mode", schedule-form ablation in
+    tests/fixtures/certification512/exact_anneal_r4.json).  Pass
+    anneal_halvings=0 for the plain rounds.  NOTE: the bucketing
+    (next power of two, `_bucket`) means a heterogeneous image
     stream can trigger one multi-second XLA compile per NEW
     (component, pair, edge)-bucket triple before the jit cache warms —
     typically 1-3 compiles per (H, W); use mode='hier' (single static
@@ -1643,7 +1688,9 @@ def run_segmentation_device(class_probs, sameness_probs, num_classes,
             pair_slots=_bucket(n_pairs + 2, 16384),
             edge_slots=_bucket(int(n_ext) + 1, 16384),
             pair_rounds=max_rounds, do_prune=do_prune,
-            prune_threshold=prune_threshold, **hyper)
+            prune_threshold=prune_threshold,
+            anneal_start=float(anneal_start),
+            anneal_halvings=int(anneal_halvings), **hyper)
         label = comp
         stats = {"n_ext": int(n_ext), "edges_dropped": 0,
                  "pairs_total": n_pairs, "pairs_dropped": 0, "n_frozen": 0}

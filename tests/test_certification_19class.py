@@ -1,0 +1,109 @@
+"""19-class native-512x1024 decoder certification (VERDICT r3 #10).
+
+Second certification config: the only multi-class (C>16) decoder
+evidence used to be a unit test; this gates TRAINED-model-output
+evidence at C=19 (the Cityscapes-scale class count, where the decoder's
+packed-stats fast path is disabled — `decode_hierarchical` pack_stats
+requires num_classes <= 16, so this config exercises the unpacked
+stage-2 path end to end).
+
+Fixtures (tests/fixtures/certification19/) are produced by
+    python scripts/make_certification_fixtures.py --out /tmp/cert19 \
+        --seeds 0 --epochs 40 --num-classes 19 --fixtures 3 --skip-exact
+and committed: f16 probs + C++ greedy masks for the fixture images, the
+GT annotations, and summary.json with the full-val-set AP per decoder.
+
+Reference metric contract: egs/cityscape/local/evaluate.py (COCO segm
+AP), reference `evaluate.py:67-73`.
+"""
+
+import contextlib
+import io
+import json
+import os
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from mergenet_tpu.decoder.device import decode_hierarchical, relabel_mask
+from mergenet_tpu.data import rle as maskUtils
+from mergenet_tpu.data.coco import COCO
+from mergenet_tpu.data.cocoeval import COCOeval
+
+FIX = os.path.join(os.path.dirname(__file__), "fixtures",
+                   "certification19")
+
+pytestmark = pytest.mark.skipif(
+    not os.path.exists(os.path.join(FIX, "val_ann.json")),
+    reason="19-class certification fixtures not generated yet")
+
+
+def _fixture_ids():
+    return sorted(int(f.split("_")[1].split(".")[0])
+                  for f in os.listdir(FIX) if f.startswith("probs_"))
+
+
+def _mask_to_results(mask, classes, img_id):
+    out = []
+    for i, cls in enumerate(classes, start=1):
+        m = (mask == i).astype(np.uint8)
+        if m.sum():
+            out.append({"image_id": img_id, "score": 1.0,
+                        "category_id": int(cls), "area": int(m.sum()),
+                        "segmentation": maskUtils.encode(
+                            np.asfortranarray(m))})
+    return out
+
+
+def _ap(coco, results):
+    E = COCOeval(coco, coco.loadRes(results), "segm")
+    E.evaluate()
+    E.accumulate()
+    with contextlib.redirect_stdout(io.StringIO()):
+        E.summarize()
+    return float(E.stats[0]), float(E.stats[1])
+
+
+def test_19class_hier_ap_parity_with_cpp_greedy():
+    coco = COCO(os.path.join(FIX, "val_ann.json"))
+    offsets = tuple(tuple(int(x) for x in o)
+                    for o in np.load(os.path.join(FIX, "offsets.npy")))
+    res_hier, res_cpp = [], []
+    for i in _fixture_ids():
+        d = np.load(os.path.join(FIX, "probs_%d.npz" % i))
+        cp = jnp.asarray(d["cp"].astype(np.float32))
+        sp = jnp.asarray(d["sp"].astype(np.float32))
+        assert cp.shape[-1] == 19  # the C>16 unpacked-stats path
+        comp, rc, ii, st = decode_hierarchical(
+            cp, sp, cp.shape[-1], offsets, object_merge_factor=1.0,
+            merge_logprob_bias=0.03, return_stats=True)
+        assert int(st["edges_dropped"]) == 0
+        assert int(st["pairs_dropped"]) == 0
+        assert int(st["n_frozen"]) == 0
+        mask, ic = relabel_mask(comp, rc, ii)
+        classes = [int(c) for c in np.asarray(ic) if c >= 0]
+        res_hier += _mask_to_results(np.asarray(mask), classes, i)
+
+        cm = np.load(os.path.join(FIX, "cpp_mask_%d.npz" % i))
+        res_cpp += _mask_to_results(cm["mask"].astype(np.int32),
+                                    [int(c) for c in cm["classes"]], i)
+
+    ap_h, ap50_h = _ap(coco, res_hier)
+    ap_c, ap50_c = _ap(coco, res_cpp)
+    assert ap_h >= ap_c - 0.01, (ap_h, ap_c)
+    assert ap50_h >= ap50_c - 0.03, (ap50_h, ap50_c)
+
+
+def test_19class_summary_gate():
+    """Full-val-set evidence recorded by the regen script: hier within
+    1 AP of the C++ greedy at C=19, zero capacity overflows."""
+    with open(os.path.join(FIX, "summary.json")) as f:
+        summary = json.load(f)
+    assert summary["config"]["num_classes"] == 19
+    for seed, entry in summary["seeds"].items():
+        assert entry["overflow"]["edges_dropped"] == 0, seed
+        assert entry["overflow"]["pairs_dropped"] == 0, seed
+        assert entry["hier"]["AP"] >= entry["cpp"]["AP"] - 0.01, (
+            seed, entry)
