@@ -417,7 +417,162 @@ def _scan_sweeps(label, h_links, v_links, ccl):
     return label
 
 
-def _densify_stats(label, cls_lp_pix, M):
+#: run-compaction table size: in-budget when a label grid has at most
+#: this many column-major runs (trained 512x1024 outputs measure ~8-12k;
+#: `_densify_stats` falls back to the scatter path beyond it, so this is
+#: a pure budget, not a correctness bound)
+RUN_SLOTS = 32768
+
+
+def _col_run_ends(label):
+    """Column-major run structure of a label grid.
+
+    Connected components are spatially contiguous, so along each column
+    a label grid is a few RUNS of equal ids (measured ~11 runs/column on
+    trained 512x1024 outputs vs H=512 pixels) — per-run work replaces
+    per-pixel scatter/segment ops, which XLA lowers to ~N-cost scalar
+    loops on TPU (docs/benchmarks.md).  Rows would not do: the offset
+    grid needs no (0,1) link, so flood components can interleave
+    even/odd columns and row runs degenerate to length 1 (measured).
+
+    Returns (lab_cm (N,) column-major labels, last (N,) bool run-end
+    flags, gidx (N,) int32 global run index in column-major order).
+    Runs never span columns (each column's first pixel starts a run)."""
+    lt = label.T  # (W, H)
+    W, H = lt.shape
+    first = jnp.concatenate(
+        [jnp.ones((W, 1), bool), lt[:, 1:] != lt[:, :-1]], axis=1)
+    last = jnp.concatenate(
+        [first[:, 1:], jnp.ones((W, 1), bool)], axis=1)
+    fflat = first.reshape(-1)
+    gidx = (jnp.cumsum(fflat.astype(jnp.int32)) - 1).astype(jnp.int32)
+    return lt.reshape(-1), last.reshape(-1), gidx
+
+
+def _run_fill_cols(ends_val, H, W):
+    """Broadcast per-run values (placed at run-END positions, -1
+    elsewhere, column-major (N,)) to every pixel of the run: each pixel
+    takes the nearest non-negative value at-or-below it in its column.
+    Returns (H, W) row-major."""
+    y = jnp.flip(ends_val.reshape(W, H), axis=1)
+    filled = jax.lax.associative_scan(
+        lambda a, b: jnp.where(b >= 0, b, a), y, axis=1)
+    return jnp.flip(filled, axis=1).T
+
+
+def _run_apply(table, comp_c, comp2d_s1, runs):
+    """table[comp2d_s1] (one N-sized table apply) computed at RUN
+    granularity: gather the table at the runs' component ids (G-sized),
+    scatter to the run-end positions and fill each run — ~0.8 ms vs the
+    ~2 ms Pallas table gather / ~3.7 ms XLA scalar-loop gather at
+    N=512k.  `comp_c` are the CURRENT component ids at the run ends
+    (the stage-1 ids composed through whatever parent tables apply).
+    Table values must be >= 0 (-1 is the fill sentinel; every decoder
+    table here is nonnegative).  Falls back to the Pallas/XLA gather
+    when the grid exceeded the run budget."""
+    pos, _, _, runs_ok = runs
+    H, W = comp2d_s1.shape
+    N = H * W
+
+    def fast(_):
+        ends = jnp.full((N,), -1, jnp.int32).at[pos].set(table[comp_c])
+        return _run_fill_cols(ends, H, W)
+
+    return jax.lax.cond(runs_ok, fast,
+                        lambda _: _tgather(table, comp2d_s1),
+                        operand=None)
+
+
+def _run_segment_max(vals2d, comp2d, comp_c, runs, M):
+    """segment_max(vals2d.reshape(-1), comp2d.reshape(-1), M) at RUN
+    granularity: a segmented column cummax (resets at run starts), the
+    per-run maxima read at the run ends, and a G-sized segment_max —
+    replacing the N-sized scatter-lowered segment_max (~4.6 ms at
+    N=512k, xprof).  `comp_c` are the current component ids at the run
+    ends (`comp2d`'s value on each run).  vals2d (H, W) int32."""
+    pos, _, first_cm, runs_ok = runs
+    H, W = vals2d.shape
+
+    def fast(_):
+        v = vals2d.T  # column-major (W, H)
+        f = first_cm.reshape(W, H)
+
+        def op(a, b):
+            av, af = a
+            bv, bf = b
+            return (jnp.where(bf, bv, jnp.maximum(av, bv)), af | bf)
+
+        m, _ = jax.lax.associative_scan(op, (v, f), axis=1)
+        return jax.ops.segment_max(m.reshape(-1)[pos], comp_c,
+                                   num_segments=M)
+
+    def slow(_):
+        return jax.ops.segment_max(vals2d.reshape(-1),
+                                   comp2d.reshape(-1), num_segments=M)
+
+    return jax.lax.cond(runs_ok, fast, slow, operand=None)
+
+
+def _densify_stats_runs(label, cls_lp_pix, M, G=RUN_SLOTS):
+    """Run-compacted `_densify_stats` fast path (identical outputs up to
+    f32 summation order; the caller lax.cond's to the scatter path when
+    the grid exceeds G runs).  All O(N) work is vector scans/compares +
+    ONE width-1 scatter; the aggregation itself runs at G entries.
+
+    Per-run class-logprob sums come from PER-COLUMN f32 cumsums
+    differenced at consecutive run ends (column magnitude <= ~8k keeps
+    the diff error ~1e-3 — the same argument as `_block_dedup`'s
+    row-local sums); the first run of a column subtracts 0."""
+    H, W = label.shape
+    C = cls_lp_pix.shape[-1]
+    N = H * W
+    G = min(G, N)
+    flat = label.reshape(-1).astype(jnp.int32)
+    is_rep = (flat == jnp.arange(N, dtype=flat.dtype)).astype(jnp.int32)
+    dense = (jnp.cumsum(is_rep) - 1).astype(jnp.int32)
+    n_comp_total = dense[N - 1] + 1
+
+    lab_cm, last, gidx = _col_run_ends(label)
+    n_runs = gidx[N - 1] + 1
+    # compact run-end positions to G slots with ONE unstable 2-int sort
+    # (run indices are unique at run ends; sentinels sort to the tail) —
+    # an .at[].max scatter compaction measured ~5 ms at N=512k, the sort
+    # ~1.5 ms.  Unused slots point at N-1 (the final cumsum entry), so
+    # their diffs are 0.
+    keys = jnp.where(last, gidx, N)
+    _, pos = jax.lax.sort(
+        (keys, jnp.arange(N, dtype=jnp.int32)), num_keys=1,
+        is_stable=False)
+    pos = jnp.where(jnp.arange(G) < jnp.minimum(n_runs, G),
+                    pos[:G], N - 1)
+    comp_c = jnp.minimum(dense[lab_cm[pos]], M - 1)  # G-sized gathers
+
+    vals = jnp.concatenate(
+        [cls_lp_pix, jnp.ones((H, W, 1), jnp.float32)], axis=-1)
+    cum = jnp.cumsum(vals.transpose(1, 0, 2), axis=1)  # per-column
+    vals_c = cum.reshape(N, C + 1)[pos]
+    prev_pos = jnp.concatenate(
+        [jnp.full((1,), -1, jnp.int32), pos[:-1]])
+    same_col = (pos // H) == (prev_pos // H)
+    prev_vals = jnp.concatenate(
+        [jnp.zeros((1, C + 1), jnp.float32), vals_c[:-1]], axis=0)
+    partial = vals_c - jnp.where(same_col[:, None], prev_vals, 0.0)
+    valid = jnp.arange(G) < jnp.minimum(n_runs, G)
+    partial = jnp.where(valid[:, None], partial, 0.0)
+    agg = jax.ops.segment_sum(partial, comp_c, num_segments=M)
+
+    ends_val = jnp.full((N,), -1, jnp.int32).at[pos].set(comp_c)
+    comp_of_pix = _run_fill_cols(ends_val, H, W)
+
+    frozen = jnp.zeros((M,), bool).at[M - 1].set(n_comp_total > M)
+    # a run starts at element 0 and right after every run end
+    first_cm = jnp.concatenate([jnp.ones((1,), bool), last[:-1]])
+    runs = (pos, comp_c, first_cm, n_runs <= G)
+    return (comp_of_pix, agg[:, :C], agg[:, C].astype(jnp.int32),
+            frozen, n_comp_total, n_runs, runs)
+
+
+def _densify_stats(label, cls_lp_pix, M, return_runs=False):
     """Densify root-pixel labels to component ids in [0, M) and aggregate
     per-component stats — the shared epilogue of every decode entry.
 
@@ -431,23 +586,43 @@ def _densify_stats(label, cls_lp_pix, M):
     from a ones column fused into the class-logprob segment_sum (counts
     < 2^24 are exact in f32).
 
+    Dispatch: the run-compacted fast path (`_densify_stats_runs`) when
+    the grid's column-run count fits RUN_SLOTS — the common case on
+    real outputs, replacing the (N, C+1) scatter-lowered segment_sum +
+    the N-sized dense[flat] gather (together ~13 ms of the 46 ms decode
+    at 512x1024, xprof) with run-granular work — else the original
+    scatter path, selected by lax.cond at trace-free runtime.
+
     Returns (comp2d (H,W) int32, cls_lp (M,C), size (M,) int32,
-    frozen (M,) bool, n_comp_total scalar int32 incl. overflow)."""
+    frozen (M,) bool, n_comp_total scalar int32 incl. overflow)[,
+    runs handle when return_runs — see `_run_apply`/`_run_segment_max`]."""
     H, W = label.shape
     C = cls_lp_pix.shape[-1]
     N = H * W
-    flat = label.reshape(-1).astype(jnp.int32)
-    is_rep = (flat == jnp.arange(N, dtype=flat.dtype)).astype(jnp.int32)
-    dense = (jnp.cumsum(is_rep) - 1).astype(jnp.int32)  # rep pix -> dense
-    comp_of_pix = jnp.minimum(dense[flat], M - 1)
-    agg = jax.ops.segment_sum(
-        jnp.concatenate([cls_lp_pix.reshape(N, C),
-                         jnp.ones((N, 1), jnp.float32)], axis=1),
-        comp_of_pix, num_segments=M)
-    n_comp_total = dense[N - 1] + 1
-    frozen = jnp.zeros((M,), bool).at[M - 1].set(n_comp_total > M)
-    return (comp_of_pix.reshape(H, W), agg[:, :C],
-            agg[:, C].astype(jnp.int32), frozen, n_comp_total)
+
+    def slow(_):
+        flat = label.reshape(-1).astype(jnp.int32)
+        is_rep = (flat == jnp.arange(N, dtype=flat.dtype)) \
+            .astype(jnp.int32)
+        dense = (jnp.cumsum(is_rep) - 1).astype(jnp.int32)
+        comp_of_pix = jnp.minimum(dense[flat], M - 1)
+        agg = jax.ops.segment_sum(
+            jnp.concatenate([cls_lp_pix.reshape(N, C),
+                             jnp.ones((N, 1), jnp.float32)], axis=1),
+            comp_of_pix, num_segments=M)
+        n_comp_total = dense[N - 1] + 1
+        return (comp_of_pix.reshape(H, W), agg[:, :C],
+                agg[:, C].astype(jnp.int32), n_comp_total)
+
+    (comp2d, cls_lp, size, frozen, n_comp_total,
+     n_runs, runs) = _densify_stats_runs(label, cls_lp_pix, M)
+    comp2d, cls_lp, size, n_comp_total = jax.lax.cond(
+        n_runs <= min(RUN_SLOTS, N),
+        lambda _: (comp2d, cls_lp, size, n_comp_total),
+        slow, operand=None)
+    if return_runs:
+        return comp2d, cls_lp, size, frozen, n_comp_total, runs
+    return comp2d, cls_lp, size, frozen, n_comp_total
 
 
 @functools.partial(
@@ -1283,7 +1458,9 @@ def decode_hierarchical(class_probs, sameness_probs, num_classes, offsets,
     # ---- stage 1: flood + densify to M ----
     label = _flood_fill(argmax_pix, log_odds, offsets, den_mode, omf, bias,
                         ccl_sweeps, ccl_margin)
-    comp2d, cls_lp, size, frozen, _ = _densify_stats(label, cls_lp_pix, M)
+    comp2d, cls_lp, size, frozen, _, runs = _densify_stats(
+        label, cls_lp_pix, M, return_runs=True)
+    comp_c = runs[1]  # stage-1 dense ids at the run ends
 
     # ---- stage 2: absorption rounds on the grid ----
     ids = jnp.arange(M, dtype=jnp.int32)
@@ -1304,15 +1481,17 @@ def decode_hierarchical(class_probs, sameness_probs, num_classes, offsets,
     comp2d_s1 = comp2d  # stage-1 dense ids (the Pallas scan's labels)
     tparent = None      # (M,) stage-1 id -> current absorb root
     for theta in absorb_thetas:
+        # current ids at the run ends (tables compose at G granularity)
+        comp_cur_c = comp_c if tparent is None else tparent[comp_c]
         if tparent is not None:
-            comp2d = _tgather(tparent, comp2d_s1)
+            comp2d = _run_apply(tparent, comp_c, comp2d_s1, runs)
         argcls = jnp.argmax(cls_lp, axis=1).astype(jnp.int32)
         if pack_stats:
-            # one N-sized gather instead of three: (size, argcls, frozen)
-            # packed into a single int32 per component
+            # one run-granular apply instead of three per-pixel gathers:
+            # (size, argcls, frozen) packed into a single int32
             packed = ((jnp.minimum(size, (1 << 26) - 1) << 5)
                       | (argcls << 1) | frozen.astype(jnp.int32))
-            packed_own = _tgather(packed, comp2d)
+            packed_own = _run_apply(packed, comp_cur_c, comp2d_s1, runs)
             arg_own = (packed_own >> 1) & 15
             size_own = packed_own >> 5
             froz_own = (packed_own & 1) == 1
@@ -1379,8 +1558,8 @@ def decode_hierarchical(class_probs, sameness_probs, num_classes, offsets,
             packed_edge = jnp.where(
                 (bp >= f32(theta)) & (partner_f >= 0),
                 (q << partner_bits) | (partner_f + 1), 0)
-            best_packed = jax.ops.segment_max(packed_edge, own_f,
-                                              num_segments=M)
+            best_packed = _run_segment_max(
+                packed_edge.reshape(H, W), comp2d, comp_cur_c, runs, M)
             hook = best_packed > 0
             partner = (best_packed & ((1 << partner_bits) - 1)) - 1
         else:
@@ -1414,11 +1593,11 @@ def decode_hierarchical(class_probs, sameness_probs, num_classes, offsets,
     frozen = jax.ops.segment_max(
         ((frozen | over2) & live).astype(jnp.int32), map2,
         num_segments=M2) > 0
-    # one fused N-gather: dedup id + frozen flag per pixel (see stage-2
-    # comment).  M2 <= 46339 < 2^16, so the flag rides bit 16.
+    # one fused run-granular apply: dedup id + frozen flag per pixel
+    # (see stage-2 comment).  M2 <= 46339 < 2^16, the flag rides bit 16.
     t = map2 if tparent is None else map2[tparent]
     t = t | jnp.where(frozen[t], 1 << 16, 0)
-    tp = _tgather(t, comp2d_s1)
+    tp = _run_apply(t, comp_c, comp2d_s1, runs)
     comp2d = tp & ((1 << 16) - 1)
     froz2d = tp >= (1 << 16)
 
@@ -1432,21 +1611,24 @@ def decode_hierarchical(class_probs, sameness_probs, num_classes, offsets,
     parent, root_class, is_inst = _finalize_tables(
         cls_lp, size, frozen, M2, do_prune, prune_threshold)
     tm = total_map if parent is None else parent[total_map]
+    # compose the final M2 tables back to STAGE-1 ids (M-sized gathers,
+    # ~us) so the per-pixel apply is one run-granular fill
+    t16 = t & ((1 << 16) - 1)
     if relabel:
         # compose the instance-id table into tm so the final mask costs
-        # ONE N-sized gather (the separate relabel_mask call costs a
+        # ONE per-pixel apply (the separate relabel_mask call costs a
         # second one); identical output to
         # relabel_mask(tm[comp2d], root_class, is_inst)
         inst_id = jnp.cumsum(is_inst.astype(jnp.int32))
         idtab = jnp.where(is_inst, inst_id, 0)
-        mask = _tgather(idtab[tm], comp2d.reshape(-1)).reshape(H, W)
+        mask = _run_apply(idtab[tm][t16], comp_c, comp2d_s1, runs)
         k = jnp.where(is_inst, inst_id - 1, M2 - 1)
         inst_class = jnp.full((M2,), -1, jnp.int32).at[k].max(
             jnp.where(is_inst, root_class,
                       jnp.full_like(root_class, -1)))
         out = (mask, inst_class)
     else:
-        comp = _tgather(tm, comp2d.reshape(-1)).reshape(H, W)
+        comp = _run_apply(tm[t16], comp_c, comp2d_s1, runs)
         out = (comp, root_class, is_inst)
     if return_stats:
         stats = dict(stats, n_frozen=jnp.sum(frozen.astype(jnp.int32)))
