@@ -20,12 +20,15 @@ pipeline carries a per-frame overflow counter out of the jitted decode
 and the host wrapper re-decodes only the flagged frames with the exact
 mode (`run_segmentation_device`, measured overflow-proof capacities).
 The fast path stays one SPMD dispatch; the fallback costs one extra
-dispatch per over-budget frame (~2.6 s vs 46 ms — rare by
-construction, certified zero-overflow on the validation set).
+dispatch per over-budget frame (~6.6 s vs ~43 ms — rare by
+construction, certified zero-overflow on the validation set; the
+annealed exact fallback measures +1.5 AP over the C++ greedy,
+docs/decoder.md).
 
-Throughput: see bench.py / the driver's BENCH_rNN.json (canonical;
-16.65 fps/chip as of round 3 — `scripts/check_docs_numbers.py` keeps
-this number honest); per-chip decode is independent, so a
+Throughput: see bench.py / BENCH_LOCAL.json / the driver's
+BENCH_rNN.json (19.02 fps/chip as of round 4 —
+`scripts/check_docs_numbers.py` keeps this number honest); per-chip
+decode is independent, so a
 v5e-8 slice serves ~8x that (validated for compile+execution on a
 virtual 8-device mesh by tests/test_serving.py — including a
 flagship-shape PSPFPNet parity test — and the driver's
