@@ -1035,9 +1035,41 @@ def _block_dedup(key, oml, P, SENT, pair_slots, block, slots):
     pk = jnp.where(kept, k_s[:, :slots], SENT).reshape(-1)
     pt = jnp.where(kept, t_sl - prev, 0.0).reshape(-1)
 
-    # ---- global finish at R*slots entries ----
+    plo, phi, pair_oml, pairs_kept, pairs_cut = _dedup_global_finish(
+        pk, pt, P, SENT, pair_slots, mindrop)
+
+    n_ext = jnp.sum((~dead).astype(jnp.int32))
+    edges_dropped = jnp.sum((~dead & (k2 >= mindrop)).astype(jnp.int32))
+    # upper-bound dropped-pair count: runs cut at row level (once per
+    # row) + globally-visible runs past the threshold + clamp overflow
+    rowdrop = jnp.sum((first & ~dead & (run_id >= slots))
+                      .astype(jnp.int32))
+    pairs_dropped = (rowdrop + pairs_cut + jnp.maximum(
+        pairs_kept - (pair_slots - 1), 0)).astype(jnp.int32)
+    stats = {
+        "n_ext": n_ext,
+        "edges_dropped": edges_dropped,
+        "pairs_total": pairs_kept + pairs_dropped,
+        "pairs_dropped": pairs_dropped,
+    }
+    return plo, phi, pair_oml, stats
+
+
+def _dedup_global_finish(pk, pt, P, SENT, pair_slots, mindrop):
+    """Global merge of per-row partial (pair key, partial oml sum)
+    entries: one small sort, run-differenced running sum, compaction to
+    `pair_slots` — the shared tail of `_block_dedup` and `_run_dedup`.
+    Entries with key >= `mindrop` (sentinels AND threshold-dropped
+    pairs) are zeroed out of the aggregation.  Returns (plo, phi,
+    pair_oml, pairs_kept, pairs_cut); `pairs_cut` counts unique keys
+    dropped by the threshold (below SENT, at/over mindrop)."""
+    f32 = jnp.float32
+    if pk.shape[0] < pair_slots:  # outputs slice to pair_slots entries
+        padn = pair_slots - pk.shape[0]
+        pk = jnp.concatenate([pk, jnp.full((padn,), SENT, pk.dtype)])
+        pt = jnp.concatenate([pt, jnp.zeros((padn,), pt.dtype)])
     gk, gt = jax.lax.sort((pk, pt), num_keys=1, is_stable=False)
-    gdead = gk >= mindrop  # sentinels AND threshold-dropped pairs
+    gdead = gk >= mindrop
     gfirst = jnp.concatenate([jnp.ones((1,), bool), gk[1:] != gk[:-1]])
     # number KEPT runs contiguously (dropped runs sit between kept ones
     # in key order, so the raw run index would leave gaps and mis-clamp
@@ -1057,20 +1089,89 @@ def _block_dedup(key, oml, P, SENT, pair_slots, block, slots):
     pair_oml = jnp.where(
         valid, ctot - jnp.concatenate([jnp.zeros((1,), f32), ctot[:-1]]),
         0.0)
-
-    n_ext = jnp.sum((~dead).astype(jnp.int32))
-    edges_dropped = jnp.sum((~dead & (k2 >= mindrop)).astype(jnp.int32))
     pairs_kept = jnp.sum((gfirst & ~gdead).astype(jnp.int32))
-    # upper-bound dropped-pair count: runs cut at row level (once per
-    # row) + globally-visible runs past the threshold + clamp overflow
-    rowdrop = jnp.sum((first & ~dead & (run_id >= slots))
-                      .astype(jnp.int32))
     pairs_cut = jnp.sum((gfirst & (gk < SENT) & gdead).astype(jnp.int32))
-    pairs_dropped = (rowdrop + pairs_cut + jnp.maximum(
-        pairs_kept - (pair_slots - 1), 0)).astype(jnp.int32)
+    return plo, phi, pair_oml, pairs_kept, pairs_cut
+
+
+def _dedup_rows(keyT, omlT, H, SENT, block):
+    """Row-blocked COLUMN-major edge layout shared by `_run_dedup` (which
+    needs it) and the `_block_dedup` fallback (which is order-agnostic).
+    keyT/omlT are (O, W, H) per-offset planes of the TRANSPOSED grid.
+    Rows are column-aligned (B a multiple of H, pad rows carry sentinel
+    keys), so every run lies inside one row.  Returns (key (R, B),
+    oml (R, B), first (R, B) run-start flags, dead (R, B))."""
+    O, W, _ = keyT.shape
+    B = H * max(1, int(block) // H)
+    E = O * W * H
+    R = -(-E // B)
+    key = keyT.reshape(-1)
+    oml = omlT.reshape(-1)
+    pad = R * B - E
+    if pad:
+        key = jnp.concatenate([key, jnp.full((pad,), SENT, key.dtype)])
+        oml = jnp.concatenate([oml, jnp.zeros((pad,), oml.dtype)])
+    key = key.reshape(R, B)
+    oml = oml.reshape(R, B)
+    # a run starts at every column boundary (offset planes are whole
+    # numbers of columns, so plane boundaries coincide) or key change
+    col0 = (jnp.arange(B, dtype=jnp.int32) % H) == 0
+    first = col0[None, :] | jnp.concatenate(
+        [jnp.ones((R, 1), bool), key[:, 1:] != key[:, :-1]], axis=1)
+    dead = key >= SENT
+    return key, oml, first, dead
+
+
+def _run_dedup(key, oml, first, dead, P, SENT, pair_slots, slots):
+    """Run-granular pair dedup — the sort1-free fast path of
+    `_block_dedup` (docs/benchmarks.md, round 4).
+
+    In column-major order equal pair keys are ALREADY contiguous: a key
+    plane's runs are intersections of the component grid's column runs
+    with its shifted self's, so the per-block key sort that
+    `_block_dedup` uses to group equal keys is unnecessary — run
+    detection is an adjacency compare, per-run oml sums are row-cumsum
+    differences at run ends, and ONE 2-int (ordkey, idx) sort compacts
+    the <= `slots` LIVE (external) run ends per row; key/total ride as
+    two small take_along_axis gathers instead of sort payloads.  The
+    global finish merges the same pair's runs across rows/offsets
+    exactly like `_block_dedup`'s.
+
+    CAPACITY CONTRACT (differs from `_block_dedup`): rows bound LIVE
+    RUNS, not unique pairs, and this path never drops anything — the
+    caller lax.conds to the sorted `_block_dedup` when any row's live
+    run count exceeds `slots` (`_pair_phase`), so reaching here means
+    the aggregation is exact and edges_dropped = 0."""
+    R, B = key.shape
+    livestart = first & ~dead
+    rid = jnp.cumsum(livestart.astype(jnp.int32), axis=1) - 1
+    last = jnp.concatenate([first[:, 1:], jnp.ones((R, 1), bool)],
+                           axis=1)
+    sel = last & ~dead
+    tot = _stable_cumsum_rows(jnp.where(dead, 0.0, oml))
+    ordkey = jnp.where(sel & (rid < slots), rid, slots).astype(jnp.int32)
+    idx = jnp.broadcast_to(jnp.arange(B, dtype=jnp.int32), (R, B))
+    ord_s, idx_s = jax.lax.sort((ordkey, idx), dimension=1, num_keys=1,
+                                is_stable=False)
+    ii = idx_s[:, :slots]
+    kept = ord_s[:, :slots] < slots
+    k_s = jnp.take_along_axis(key, ii, axis=1)
+    t_sl = jnp.take_along_axis(tot, ii, axis=1)
+    # kept entries sort first and in run order, so differencing
+    # consecutive compacted totals yields exact per-run sums (dead runs
+    # between two live ends contribute 0 to the cumsum)
+    prev = jnp.concatenate(
+        [jnp.zeros((R, 1), jnp.float32), t_sl[:, :-1]], axis=1)
+    pk = jnp.where(kept, k_s, SENT).reshape(-1)
+    pt = jnp.where(kept, t_sl - prev, 0.0).reshape(-1)
+
+    plo, phi, pair_oml, pairs_kept, pairs_cut = _dedup_global_finish(
+        pk, pt, P, SENT, pair_slots, SENT)
+    clamp = jnp.maximum(pairs_kept - (pair_slots - 1), 0)
+    pairs_dropped = (pairs_cut + clamp).astype(jnp.int32)
     stats = {
-        "n_ext": n_ext,
-        "edges_dropped": edges_dropped,
+        "n_ext": jnp.sum((~dead).astype(jnp.int32)),
+        "edges_dropped": jnp.asarray(0, jnp.int32),
         "pairs_total": pairs_kept + pairs_dropped,
         "pairs_dropped": pairs_dropped,
     }
@@ -1117,6 +1218,48 @@ def _pair_phase(comp2d, cls_lp, size, frozen, log_odds, offsets, M2,
     SENT = P * P - 1 if packed else None  # > any real key; int32-safe
     if froz2d is None:  # callers may pass it pre-fused into a relabel
         froz2d = frozen[comp2d]
+    if packed and dedup_block is not None:
+        # per-block pre-aggregated dedup (serving fast path); edge_slots
+        # compaction is the mono path's mechanism — mutually exclusive
+        assert edge_slots is None, \
+            "dedup_block and edge_slots are mutually exclusive"
+        # COLUMN-major key planes: on the transposed grid offset (di, dj)
+        # becomes (dj, di), and equal pair keys land contiguous in the
+        # flattened (O, W, H) layout — the run-granular `_run_dedup`
+        # fast path needs no per-block key sort at all.  Falls back to
+        # the sorted `_block_dedup` (order-agnostic, so it takes the
+        # same column-major input) when any row's live run count
+        # exceeds `dedup_slots` — the fallback's own unique-pair
+        # capacity semantics then apply.
+        compT = comp2d.T
+        frozT = froz2d.T
+        keysT = []
+        for oi, (di, dj) in enumerate(offsets):
+            c2 = _shift2d(compT, dj, di, -1)
+            f2 = _shift2d(frozT, dj, di, True)
+            ext = (c2 >= 0) & (c2 != compT) & ~frozT & ~f2
+            lo = jnp.minimum(compT, c2)
+            hi = jnp.maximum(compT, c2)
+            keysT.append(jnp.where(ext, lo * P + hi, SENT))
+        keyT = jnp.stack(keysT)                  # (O, W, H)
+        omlT = log_odds.transpose(0, 2, 1)       # (O, W, H)
+        H2 = comp2d.shape[0]
+        keyr, omlr, firstr, deadr = _dedup_rows(keyT, omlT, H2, SENT,
+                                                int(dedup_block))
+        nlive = jnp.max(jnp.sum((firstr & ~deadr).astype(jnp.int32),
+                                axis=1))
+        plo, phi, pair_oml, stats = jax.lax.cond(
+            nlive <= int(dedup_slots),
+            lambda _: _run_dedup(keyr, omlr, firstr, deadr, P, SENT,
+                                 pair_slots, int(dedup_slots)),
+            lambda _: _block_dedup(keyT.reshape(-1), omlT.reshape(-1),
+                                   P, SENT, pair_slots,
+                                   int(dedup_block), int(dedup_slots)),
+            operand=None)
+        return _pair_rounds(plo, phi, pair_oml, stats, cls_lp, size,
+                            frozen, M2, P, SENT, pair_slots, pair_rounds,
+                            den_mode, omf, bias, packed,
+                            anneal_start, anneal_halvings)
     los, his, keys, omls = [], [], [], []
     for oi, (di, dj) in enumerate(offsets):
         c2 = _shift2d(comp2d, di, dj, -1)
@@ -1131,18 +1274,6 @@ def _pair_phase(comp2d, cls_lp, size, frozen, log_odds, offsets, M2,
             his.append(jnp.where(ext, hi, M2).reshape(-1))
     # plane-major log_odds flattens to exactly the per-offset concat order
     oml = log_odds.reshape(-1)
-    if packed and dedup_block is not None:
-        # per-block pre-aggregated dedup (serving fast path); edge_slots
-        # compaction is the mono path's mechanism — mutually exclusive
-        assert edge_slots is None, \
-            "dedup_block and edge_slots are mutually exclusive"
-        plo, phi, pair_oml, stats = _block_dedup(
-            jnp.concatenate(keys), oml, P, SENT, pair_slots,
-            int(dedup_block), int(dedup_slots))
-        return _pair_rounds(plo, phi, pair_oml, stats, cls_lp, size,
-                            frozen, M2, P, SENT, pair_slots, pair_rounds,
-                            den_mode, omf, bias, packed,
-                            anneal_start, anneal_halvings)
     if packed:
         key = jnp.concatenate(keys)
         ext_mask = key < SENT
