@@ -316,17 +316,22 @@ def main():
         # workload), with a zero-valued net contribution keeping the
         # data dependency so both stages execute in one program.
         logits = model.apply(v, x.astype(jnp.bfloat16), train=False,
-                             output_size=(DH, DW))
-        probs = jax.nn.sigmoid(logits.astype(jnp.float32))[0]
+                             output_size=(DH, DW)).astype(jnp.float32)[0]
         if ckpt is not None:
-            cp_run = probs[..., :num_classes]
-            sp_run = probs[..., num_classes:]
+            # serving fast path (e2e.py/serving.py): raw logits straight
+            # into the decode's collapsed log-domain — the sigmoid ->
+            # clip -> log round trip over all C+O planes never runs
+            cp_run = logits[..., :num_classes]
+            sp_run = logits[..., num_classes:]
+            from_logits = True
         else:
+            probs = jax.nn.sigmoid(logits)
             cp_run = cp + 0.0 * probs[..., :num_classes]
             sp_run = sp + 0.0 * probs[..., num_classes:]
+            from_logits = False
         mask, inst_class = decode_hierarchical(
             cp_run, sp_run, num_classes, offsets, object_merge_factor=1.0,
-            merge_logprob_bias=0.03, relabel=True)
+            merge_logprob_bias=0.03, relabel=True, from_logits=from_logits)
         return jnp.sum(mask) + jnp.max(inst_class)
 
     # AOT-compile the net ONCE: the same executable serves the timing

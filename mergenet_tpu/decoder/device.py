@@ -89,7 +89,8 @@ def _seg_min_scan(label, link, axis, reverse=False):
     return m
 
 
-def _log_domain(class_probs, sameness_probs, same_different_bias):
+def _log_domain(class_probs, sameness_probs, same_different_bias,
+                from_logits=False):
     """Common per-pixel preprocessing: clipped log class probs and
     sameness log-odds (with the optional logit-domain re-bias).
 
@@ -98,9 +99,31 @@ def _log_domain(class_probs, sameness_probs, same_different_bias):
     which requires this layout — and the dedup's flattened edge payload,
     which becomes a zero-copy reshape).  Decode time is unchanged (XLA
     fused the old minor-axis slices equally well); this is layout
-    simplification, not a measured speedup."""
+    simplification, not a measured speedup.
+
+    With `from_logits=True` the inputs are the net's raw LOGITS and the
+    sigmoid -> clip -> log round trip is collapsed algebraically
+    (serving fast path — skips ~29 transcendental planes per frame):
+      log(clip(sigmoid(l), eps, 1-eps))
+          == clip(log_sigmoid(l), log(eps), log1p(-eps))
+      logit(clip(sigmoid(l), eps, 1-eps)) == clip(l, -L, L),
+          L = log((1-eps)/eps)
+    Same function up to f32 rounding; mask-identity with the probs path
+    is pinned on a committed trained fixture
+    (tests/test_from_logits.py)."""
     f32 = jnp.float32
     eps = f32(1.1920929e-07)
+    if from_logits:
+        L = f32(15.942385)  # log((1-eps)/eps)
+        cl = class_probs.astype(f32)
+        sl = jnp.moveaxis(sameness_probs, -1, 0).astype(f32)
+        cls_lp_pix = jnp.clip(-jax.nn.softplus(-cl),
+                              jnp.log(eps), jnp.log1p(-eps))
+        log_odds = jnp.clip(sl, -L, L)
+        if same_different_bias:
+            log_odds = jnp.clip(log_odds + f32(same_different_bias),
+                                -L, L)
+        return cls_lp_pix, log_odds
     cp = jnp.clip(class_probs.astype(f32), eps, 1.0 - eps)
     sp = jnp.clip(jnp.moveaxis(sameness_probs, -1, 0).astype(f32),
                   eps, 1.0 - eps)
@@ -1495,7 +1518,7 @@ def _pair_rounds(plo, phi, pair_oml, stats, cls_lp, size, frozen, M2, P,
                      "pair_components", "pair_slots", "pair_rounds",
                      "edge_slots", "dedup_block", "dedup_slots",
                      "do_prune", "prune_threshold", "return_stats",
-                     "relabel"))
+                     "relabel", "from_logits"))
 def decode_hierarchical(class_probs, sameness_probs, num_classes, offsets,
                         same_different_bias=0.0, object_merge_factor=1.0,
                         merge_logprob_bias=0.0, den_mode="sum",
@@ -1506,7 +1529,8 @@ def decode_hierarchical(class_probs, sameness_probs, num_classes, offsets,
                         pair_slots=16384, pair_rounds=64,
                         edge_slots=None, dedup_block=4096, dedup_slots=256,
                         do_prune=False, prune_threshold=200.0,
-                        return_stats=False, relabel=False):
+                        return_stats=False, relabel=False,
+                        from_logits=False):
     """Single-dispatch hierarchical decode tuned for serving throughput.
 
     Same objective as `decode_on_device`, structured so every stage's cost
@@ -1569,6 +1593,10 @@ def decode_hierarchical(class_probs, sameness_probs, num_classes, offsets,
     the return is (mask (H, W) int32 with instance ids 1..K,
     inst_class (M2,) int32) — identical to calling `relabel_mask` on the
     default outputs, one N-sized gather cheaper (serving path).
+
+    With `from_logits=True`, `class_probs`/`sameness_probs` are the
+    net's raw LOGITS and the sigmoid -> log round trip is collapsed
+    algebraically (see `_log_domain`) — the serving/e2e fast path.
     """
     H, W, C = class_probs.shape
     assert C == num_classes and sameness_probs.shape[-1] == len(offsets)
@@ -1583,7 +1611,8 @@ def decode_hierarchical(class_probs, sameness_probs, num_classes, offsets,
     omf = f32(object_merge_factor)
     bias = f32(merge_logprob_bias)
     cls_lp_pix, log_odds = _log_domain(class_probs, sameness_probs,
-                                       same_different_bias)
+                                       same_different_bias,
+                                       from_logits=from_logits)
     argmax_pix = jnp.argmax(cls_lp_pix, axis=-1)
 
     # ---- stage 1: flood + densify to M ----

@@ -101,6 +101,24 @@ def probs_at(model, variables, x, size):
         "bilinear")
 
 
+def logits_at(model, variables, x, size):
+    """f32 LOGITS at spatial `size`, or None when the model lacks
+    `output_size` support (the fallback resize path is defined on
+    probabilities — resizing logits is a different function — so those
+    models must go through `probs_at`).
+
+    Serving fast path: paired with `decode_hierarchical(...,
+    from_logits=True)` this skips the sigmoid -> clip -> log round trip
+    over all C+O planes per frame (`decoder/device.py::_log_domain`)."""
+    import inspect
+    params = inspect.signature(type(model).__call__).parameters
+    if "output_size" not in params:
+        return None
+    logits = model.apply(variables, x, train=False,
+                         output_size=tuple(size))
+    return logits.astype(jnp.float32)
+
+
 def init_model(model, rng, input_shape=(1, 64, 64, 3), train=False):
     """Initialize model variables; returns (params, batch_stats).
 

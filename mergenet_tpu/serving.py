@@ -44,7 +44,7 @@ import jax.numpy as jnp
 from jax.sharding import PartitionSpec as P
 
 from .decoder.device import decode_hierarchical, run_segmentation_device
-from .models import probs_at
+from .models import logits_at, probs_at
 
 
 def build_serving_pipeline(model, num_classes, offsets, mesh,
@@ -79,11 +79,20 @@ def build_serving_pipeline(model, num_classes, offsets, mesh,
     def one(variables, img):
         H, W = img.shape[0], img.shape[1]
         dh, dw = decode_size if decode_size else (H // 2, W // 2)
-        small = probs_small(variables, img, dh, dw)
+        x = img[None]
+        if dtype is not None:
+            x = x.astype(dtype)
+        # fast path: raw logits into the decode's collapsed log-domain
+        # (skips the per-frame sigmoid -> log round trip); models
+        # without output_size fall back to probs_at
+        raw = logits_at(model, variables, x, (dh, dw))
+        small = raw[0] if raw is not None \
+            else probs_small(variables, img, dh, dw)
         out = decode_hierarchical(
             small[..., :num_classes], small[..., num_classes:],
             num_classes, offsets, relabel=True,
             return_stats=overflow_fallback,
+            from_logits=raw is not None,
             **hyper, **(hier_kwargs or {}))
         if overflow_fallback:
             mask, inst_class, stats = out

@@ -14,7 +14,7 @@ import numpy as np
 
 from ..decoder.device import (decode_on_device, decode_on_device_staged,
                               decode_hierarchical, relabel_mask)
-from ..models import probs_at
+from ..models import logits_at, probs_at
 
 
 def build_e2e_infer(model, num_classes, offsets, decode_size=None,
@@ -42,7 +42,13 @@ def build_e2e_infer(model, num_classes, offsets, decode_size=None,
         x = img[None]
         if dtype is not None:
             x = x.astype(dtype)
-        small = probs_at(model, variables, x, (dh, dw))[0]
+        # hier fast path: raw logits into the decode's collapsed
+        # log-domain (skips the sigmoid -> log round trip over C+O
+        # planes); models without output_size fall back to probs_at
+        raw = logits_at(model, variables, x, (dh, dw)) \
+            if decode_mode == "hier" else None
+        small = raw[0] if raw is not None \
+            else probs_at(model, variables, x, (dh, dw))[0]
         cp = small[..., :num_classes]
         sp = small[..., num_classes:]
         kw = dict(same_different_bias=same_different_bias,
@@ -52,7 +58,8 @@ def build_e2e_infer(model, num_classes, offsets, decode_size=None,
             # relabel=True fuses the instance relabel into the decode's
             # final gather (one N-sized gather saved per frame)
             mask, inst_class = decode_hierarchical(
-                cp, sp, num_classes, offsets, relabel=True, **kw,
+                cp, sp, num_classes, offsets, relabel=True,
+                from_logits=raw is not None, **kw,
                 **(hier_kwargs or {}))
         elif max_components is None and max_edges is None:
             label, root_class, is_inst = decode_on_device_staged(
