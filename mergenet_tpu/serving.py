@@ -25,8 +25,8 @@ construction, certified zero-overflow on the validation set; the
 annealed exact fallback measures +1.5 AP over the C++ greedy,
 docs/decoder.md).
 
-Throughput: see bench.py / BENCH_LOCAL.json / the driver's
-BENCH_rNN.json (19.02 fps/chip as of round 4 —
+Throughput: see bench.py / the driver's newest
+BENCH_rNN.json (16.44 fps/chip as of round 4, driver-measured —
 `scripts/check_docs_numbers.py` keeps this number honest); per-chip
 decode is independent, so a
 v5e-8 slice serves ~8x that (validated for compile+execution on a

@@ -29,23 +29,27 @@ TOLERANCE = 0.10
 
 
 def latest_bench(root=ROOT):
-    # BENCH_LOCAL.json is the builder's own committed measurement taken
-    # AFTER a perf change landed mid-round; it supersedes the previous
-    # round's driver number so the docs can quote the current code's
-    # speed without tripping this check.  The driver's next BENCH_rNN
-    # remains the canonical record (delete/refresh BENCH_LOCAL with it).
+    # The NEWEST measurement wins, by file modification time — never let
+    # a stale BENCH_LOCAL.json (a builder measurement taken mid-round,
+    # legitimate only until the driver next runs) shadow a newer
+    # driver-measured BENCH_rNN.json.  Round 4's drift went undetected
+    # because this function preferred BENCH_LOCAL unconditionally; the
+    # driver's end-of-round number is the record the docs must match.
+    paths = sorted(glob.glob(os.path.join(root, "BENCH_r*.json")))
     local = os.path.join(root, "BENCH_LOCAL.json")
     if os.path.exists(local):
-        with open(local) as f:
-            d = json.load(f)
-        return d.get("parsed", d), "BENCH_LOCAL.json"
-    paths = sorted(glob.glob(os.path.join(root, "BENCH_r*.json")))
+        paths.append(local)
     if not paths:
         return None, None
-    with open(paths[-1]) as f:
+    # mtime ties (a fresh clone stamps every file with checkout time)
+    # resolve to the driver file: BENCH_rNN is the canonical record
+    newest = max(paths, key=lambda p: (os.path.getmtime(p),
+                                       "BENCH_LOCAL" not in p,
+                                       p))
+    with open(newest) as f:
         d = json.load(f)
     # the driver wraps bench.py's JSON line under "parsed"
-    return d.get("parsed", d), os.path.basename(paths[-1])
+    return d.get("parsed", d), os.path.basename(newest)
 
 
 def find_claims(root=ROOT):
