@@ -22,15 +22,34 @@ def _ocp():
     return ocp
 
 
+def _is_primary():
+    return jax.process_index() == 0
+
+
+def _sync(tag):
+    """Cross-process barrier (no-op single-process): filesystem mutations
+    around an orbax save/restore must not race the other hosts."""
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+        multihost_utils.sync_global_devices(tag)
+
+
 def save_checkpoint(dir, state, is_best, offsets=None, epoch=None,
                     best_iou=None, filename="checkpoint"):
     """Save train state (+ metadata) under `dir`/`filename`; copy to
-    `dir`/model_best when `is_best` (reference train_utils.py:286-295)."""
+    `dir`/model_best when `is_best` (reference train_utils.py:286-295).
+
+    Multi-host safe: every process must call (orbax coordinates the
+    sharded write); the surrounding directory mutations (rmtree of a
+    stale checkpoint, metadata, the model_best copy) run on process 0
+    only, fenced by global barriers."""
     ocp = _ocp()
-    os.makedirs(dir, exist_ok=True)
     path = os.path.abspath(os.path.join(dir, filename))
-    if os.path.exists(path):
-        shutil.rmtree(path)
+    if _is_primary():
+        os.makedirs(dir, exist_ok=True)
+        if os.path.exists(path):
+            shutil.rmtree(path)
+    _sync("mergenet:ckpt:pre-save")
     with ocp.StandardCheckpointer() as ckptr:
         ckptr.save(path, {
             "params": jax.device_get(state.params),
@@ -38,17 +57,19 @@ def save_checkpoint(dir, state, is_best, offsets=None, epoch=None,
             "opt_state": jax.device_get(state.opt_state),
             "step": int(state.step),
         })
-    meta = {"epoch": epoch, "best_iou": best_iou,
-            "offsets": [list(o) for o in offsets] if offsets else None}
-    with open(os.path.join(dir, filename + ".meta.json"), "w") as f:
-        json.dump(meta, f)
-    if is_best:
-        best = os.path.abspath(os.path.join(dir, "model_best"))
-        if os.path.exists(best):
-            shutil.rmtree(best)
-        shutil.copytree(path, best)
-        shutil.copyfile(os.path.join(dir, filename + ".meta.json"),
-                        os.path.join(dir, "model_best.meta.json"))
+    if _is_primary():
+        meta = {"epoch": epoch, "best_iou": best_iou,
+                "offsets": [list(o) for o in offsets] if offsets else None}
+        with open(os.path.join(dir, filename + ".meta.json"), "w") as f:
+            json.dump(meta, f)
+        if is_best:
+            best = os.path.abspath(os.path.join(dir, "model_best"))
+            if os.path.exists(best):
+                shutil.rmtree(best)
+            shutil.copytree(path, best)
+            shutil.copyfile(os.path.join(dir, filename + ".meta.json"),
+                            os.path.join(dir, "model_best.meta.json"))
+    _sync("mergenet:ckpt:post-save")
 
 
 def load_checkpoint(dir, state, filename="checkpoint"):
