@@ -189,6 +189,26 @@ def _contract(parent, two_cycle_break=True, unroll=False):
     return parent
 
 
+def _contract_prefix(parent, n_live, small=8192):
+    """`_contract` for a forest whose LIVE entries occupy the dense
+    prefix [0, n_live) with every parent value < n_live, entries at or
+    beyond n_live being identity (the absorb stage: hooks only exist for
+    live dense component ids).  When n_live fits `small`, pointer
+    jumping runs on the static prefix slice — a pointer-jump gather
+    costs ~0.58 ms at M=65536 vs ~0.14 ms at 8192 (xprof, round 5) and
+    the absorb forest needs ~8 jumps — else the full-size loop runs.
+    Identical output either way (prefix closure: no live entry can point
+    past n_live)."""
+    M = parent.shape[0]
+    if small >= M:
+        return _contract(parent)
+
+    def fast(p):
+        return p.at[:small].set(_contract(p[:small]))
+
+    return jax.lax.cond(n_live <= small, fast, _contract, parent)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("num_classes", "offsets", "den_mode",
@@ -1173,13 +1193,16 @@ def _run_dedup(key, oml, first, dead, P, SENT, pair_slots, slots):
     sel = last & ~dead
     tot = _stable_cumsum_rows(jnp.where(dead, 0.0, oml))
     ordkey = jnp.where(sel & (rid < slots), rid, slots).astype(jnp.int32)
-    idx = jnp.broadcast_to(jnp.arange(B, dtype=jnp.int32), (R, B))
-    ord_s, idx_s = jax.lax.sort((ordkey, idx), dimension=1, num_keys=1,
-                                is_stable=False)
-    ii = idx_s[:, :slots]
+    # key/total ride the compaction sort as PAYLOADS: two (R, slots)
+    # take_along_axis gathers from the (R, B) arrays cost ~3.3 ms EACH at
+    # B=4096 (XLA's slow gather path, xprof round 5) while the extra
+    # payload arrays add ~0.5 ms to the unstable sort — kept ordkeys are
+    # unique per row, so payload order is deterministic where it matters
+    ord_s, k_sf, t_sf = jax.lax.sort((ordkey, key, tot), dimension=1,
+                                     num_keys=1, is_stable=False)
     kept = ord_s[:, :slots] < slots
-    k_s = jnp.take_along_axis(key, ii, axis=1)
-    t_sl = jnp.take_along_axis(tot, ii, axis=1)
+    k_s = k_sf[:, :slots]
+    t_sl = t_sf[:, :slots]
     # kept entries sort first and in run order, so differencing
     # consecutive compacted totals yields exact per-run sums (dead runs
     # between two live ends contribute 0 to the cumsum)
@@ -1482,9 +1505,12 @@ def _pair_rounds(plo, phi, pair_oml, stats, cls_lp, size, frozen, M2, P,
                                 num_segments=M2),
             jax.ops.segment_max(jnp.where(elig_hi, lo_c, -1), hi_c,
                                 num_segments=M2))
+        # early-exit while_loop (nested in the round loop): unroll=True
+        # emitted ceil(log2 M2) = 13 pointer-jump gathers at ~0.14 ms
+        # each PER ROUND (~1.8 ms, xprof round 5); real pair forests
+        # resolve in 2-3 jumps under up-size hooking
         parent = _contract(jnp.where((comp_best >= tau) & (partner >= 0),
-                                     jnp.maximum(partner, 0), ids2),
-                           unroll=True)
+                                     jnp.maximum(partner, 0), ids2))
         dying = parent != ids2
         cls_lp = cls_lp.at[parent].add(
             jnp.where(dying[:, None], cls_lp, 0.0))
@@ -1618,7 +1644,7 @@ def decode_hierarchical(class_probs, sameness_probs, num_classes, offsets,
     # ---- stage 1: flood + densify to M ----
     label = _flood_fill(argmax_pix, log_odds, offsets, den_mode, omf, bias,
                         ccl_sweeps, ccl_margin)
-    comp2d, cls_lp, size, frozen, _, runs = _densify_stats(
+    comp2d, cls_lp, size, frozen, n_comp_total, runs = _densify_stats(
         label, cls_lp_pix, M, return_runs=True)
     comp_c = runs[1]  # stage-1 dense ids at the run ends
 
@@ -1730,8 +1756,11 @@ def decode_hierarchical(class_probs, sameness_probs, num_classes, offsets,
             hook = (comp_best >= f32(theta)) & (partner >= 0)
         # early-exit while_loop, NOT unrolled: unrolling emits
         # ceil(log2 M) = 16 pointer-jump gathers at M=65536 (~0.47 ms
-        # each, xprof); real absorb hook forests resolve in 2-3 jumps
-        parent = _contract(jnp.where(hook, jnp.maximum(partner, 0), ids))
+        # each, xprof); real absorb hook forests resolve in 2-3 jumps.
+        # Jumps run on the live dense prefix when it fits (hook targets
+        # are dense stage-1 ids < n_comp_total; `_contract_prefix`)
+        parent = _contract_prefix(
+            jnp.where(hook, jnp.maximum(partner, 0), ids), n_comp_total)
         dying = parent != ids
         cls_lp = cls_lp.at[parent].add(
             jnp.where(dying[:, None], cls_lp, 0.0))

@@ -1,13 +1,10 @@
 #!/usr/bin/env python3
-"""Quick full-decode timer on the certification fixture with
-configurable decode_hierarchical kwargs from the command line.
+"""Quick decode-only timing over ALL committed certification fixtures —
+the bench.py decode stage without the net (for perf iteration).
 
-Usage: python scripts/bench_decode_quick.py [k=v ...]
-  e.g. python scripts/bench_decode_quick.py dedup_block=2048 dedup_slots=192
+Usage: python scripts/bench_decode_quick.py [iters]
 """
 
-import ast
-import os
 import sys
 import time
 
@@ -25,43 +22,34 @@ def main():
     except Exception:
         pass
     import jax.numpy as jnp
-    from mergenet_tpu.decoder.device import decode_hierarchical, \
-        relabel_mask
+    from bench import _fixture_scenes
+    from mergenet_tpu.decoder.device import decode_hierarchical
 
-    kwargs = {}
-    for a in sys.argv[1:]:
-        k, v = a.split("=", 1)
-        kwargs[k] = ast.literal_eval(v)
-
-    fix = os.path.join("tests", "fixtures", "certification512")
-    d = np.load(os.path.join(fix, "probs_0.npz"))
-    offsets = tuple(tuple(int(v) for v in o)
-                    for o in np.load(os.path.join(fix, "offsets.npy")))
-    cp = jnp.asarray(d["cp"].astype(np.float32))
-    sp = jnp.asarray(d["sp"].astype(np.float32))
-    C = cp.shape[-1]
+    iters = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+    scenes, offsets = _fixture_scenes()
+    num_classes = scenes[0][0].shape[-1]
 
     @jax.jit
-    def full(cp, sp):
-        label, rc, ii = decode_hierarchical(
-            cp, sp, C, offsets, object_merge_factor=1.0,
-            merge_logprob_bias=0.03, **kwargs)
-        m, ic = relabel_mask(label, rc, ii)
-        return jnp.sum(m) + jnp.max(ic), m
+    def decode(cp, sp):
+        mask, inst_class = decode_hierarchical(
+            cp, sp, num_classes, offsets, object_merge_factor=1.0,
+            merge_logprob_bias=0.03, relabel=True)
+        return jnp.sum(mask) + jnp.max(inst_class)
 
-    iters = 16
-    for _ in range(3):
-        s, m = full(cp, sp)
-    np.asarray(s)
-    t0 = time.time()
-    for _ in range(iters):
-        s, m = full(cp, sp)
-    np.asarray(s)
-    t = (time.time() - t0) / iters * 1000
-    mask = np.asarray(m)
-    print("decode %.2f ms  kwargs=%s  mask_sum=%d n_inst=%d"
-          % (t, kwargs, int(mask.sum()), int(np.asarray(s))
-             and len(np.unique(mask)) - 1))
+    pairs = [(jnp.asarray(c), jnp.asarray(s)) for c, s in scenes]
+    per = []
+    sums = []
+    for c, s in pairs:
+        sums.append(float(decode(c, s)))  # warmup + output fingerprint
+        t0 = time.time()
+        for _ in range(iters):
+            r = decode(c, s)
+        float(r)
+        per.append((time.time() - t0) / iters * 1000)
+    print("decode ms per fixture:", " ".join("%.1f" % p for p in per))
+    print("mean %.2f  min %.2f  max %.2f  (n=%d)"
+          % (float(np.mean(per)), min(per), max(per), len(per)))
+    print("output fingerprints:", " ".join("%.0f" % s for s in sums))
 
 
 if __name__ == "__main__":
