@@ -503,7 +503,8 @@ def _run_fill_cols(ends_val, H, W):
     return jnp.flip(filled, axis=1).T
 
 
-def _run_apply(table, comp_c, comp2d_s1, runs):
+def _run_apply(table, comp_c, comp2d_s1, runs, vals_c=None,
+               table_fn=None):
     """table[comp2d_s1] (one N-sized table apply) computed at RUN
     granularity: gather the table at the runs' component ids (G-sized),
     scatter to the run-end positions and fill each run — ~0.8 ms vs the
@@ -512,18 +513,28 @@ def _run_apply(table, comp_c, comp2d_s1, runs):
     (the stage-1 ids composed through whatever parent tables apply).
     Table values must be >= 0 (-1 is the fill sentinel; every decoder
     table here is nonnegative).  Falls back to the Pallas/XLA gather
-    when the grid exceeded the run budget."""
+    when the grid exceeded the run budget.
+
+    `vals_c` (optional): precomputed table[comp_c] — callers that can
+    compose the per-run values with G-sized gathers pass them directly
+    so the M-sized table is never materialized on the fast path.
+    `table_fn` (optional, with vals_c): builds the full table lazily
+    INSIDE the fallback branch — its M-sized gathers only execute when
+    the run budget overflowed."""
     pos, _, _, runs_ok = runs
     H, W = comp2d_s1.shape
     N = H * W
 
     def fast(_):
-        ends = jnp.full((N,), -1, jnp.int32).at[pos].set(table[comp_c])
+        v = table[comp_c] if vals_c is None else vals_c
+        ends = jnp.full((N,), -1, jnp.int32).at[pos].set(v)
         return _run_fill_cols(ends, H, W)
 
-    return jax.lax.cond(runs_ok, fast,
-                        lambda _: _tgather(table, comp2d_s1),
-                        operand=None)
+    def slow(_):
+        tab = table if table_fn is None else table_fn()
+        return _tgather(tab, comp2d_s1)
+
+    return jax.lax.cond(runs_ok, fast, slow, operand=None)
 
 
 def _run_segment_max(vals2d, comp2d, comp_c, runs, M):
@@ -1650,6 +1661,14 @@ def decode_hierarchical(class_probs, sameness_probs, num_classes, offsets,
 
     # ---- stage 2: absorption rounds on the grid ----
     ids = jnp.arange(M, dtype=jnp.int32)
+    # prefix bound for the component-table work: stage-1 dense ids are
+    # contiguous, so when n_comp_total fits SMALL every M-sized
+    # contract/scatter/segment op runs on the [:SMALL] slice instead
+    # (lax.cond; identical outputs — slots past n_comp_total are zero
+    # and unreferenced).  Trained 512x1024 certification scenes measure
+    # n_comp_total 5.0-12.4k after the flood, so 16384 covers them all
+    # (a pointer-jump gather costs ~0.14/0.29/0.58 ms at 8k/16k/65k)
+    SMALL = min(16384, M)
     pack_stats = num_classes <= 16  # argcls in 4 bits, size < 2^26
     if pack_stats and absorb_thetas:
         from ..ops.pallas.absorb import absorb_best_edges, \
@@ -1760,14 +1779,33 @@ def decode_hierarchical(class_probs, sameness_probs, num_classes, offsets,
         # Jumps run on the live dense prefix when it fits (hook targets
         # are dense stage-1 ids < n_comp_total; `_contract_prefix`)
         parent = _contract_prefix(
-            jnp.where(hook, jnp.maximum(partner, 0), ids), n_comp_total)
-        dying = parent != ids
-        cls_lp = cls_lp.at[parent].add(
-            jnp.where(dying[:, None], cls_lp, 0.0))
-        cls_lp = jnp.where(dying[:, None], 0.0, cls_lp)
-        size = size + jax.ops.segment_sum(jnp.where(dying, size, 0),
-                                          parent, num_segments=M)
-        size = jnp.where(dying, 0, size)
+            jnp.where(hook, jnp.maximum(partner, 0), ids), n_comp_total,
+            small=SMALL)
+
+        # fold dying components' stats into their roots — on the live
+        # dense prefix when it fits (see SMALL above)
+        def _merge_tables(cls_lp_s, size_s, parent_s):
+            m = parent_s.shape[0]
+            dying = parent_s != jnp.arange(m, dtype=jnp.int32)
+            c = cls_lp_s.at[parent_s].add(
+                jnp.where(dying[:, None], cls_lp_s, 0.0))
+            c = jnp.where(dying[:, None], 0.0, c)
+            s = size_s + jax.ops.segment_sum(
+                jnp.where(dying, size_s, 0), parent_s, num_segments=m)
+            s = jnp.where(dying, 0, s)
+            return c, s
+
+        if SMALL < M:
+            def _mt_fast(a):
+                c, s = _merge_tables(a[0][:SMALL], a[1][:SMALL],
+                                     a[2][:SMALL])
+                return a[0].at[:SMALL].set(c), a[1].at[:SMALL].set(s)
+            cls_lp, size = jax.lax.cond(
+                n_comp_total <= SMALL, _mt_fast,
+                lambda a: _merge_tables(a[0], a[1], a[2]),
+                (cls_lp, size, parent))
+        else:
+            cls_lp, size = _merge_tables(cls_lp, size, parent)
         tparent = parent if tparent is None else parent[tparent]
 
     # ---- stage 3: re-densify to M2 + pair dedup ----
@@ -1775,18 +1813,45 @@ def decode_hierarchical(class_probs, sameness_probs, num_classes, offsets,
     dense2 = (jnp.cumsum(live.astype(jnp.int32)) - 1).astype(jnp.int32)
     over2 = live & (dense2 >= M2)
     map2 = jnp.where(live, jnp.minimum(dense2, M2 - 1), 0)
-    sel = live.astype(jnp.int32)
-    cls_lp = jax.ops.segment_sum(cls_lp * sel[:, None], map2,
-                                 num_segments=M2)
-    size = jax.ops.segment_sum(size * sel, map2, num_segments=M2)
-    frozen = jax.ops.segment_max(
-        ((frozen | over2) & live).astype(jnp.int32), map2,
-        num_segments=M2) > 0
+
+    # the M -> M2 re-densify segment ops run on the live dense PREFIX
+    # when the stage-1 component count fits (the `_contract_prefix`
+    # closure argument: every live slot and map2 target sits below
+    # n_comp_total; prefix slices leave the scatter inputs 8x smaller)
+    def _redensify(cls_lp_s, size_s, frz_s, map2_s, over2_s, live_s):
+        sel_s = live_s.astype(jnp.int32)
+        c = jax.ops.segment_sum(cls_lp_s * sel_s[:, None], map2_s,
+                                num_segments=M2)
+        s = jax.ops.segment_sum(size_s * sel_s, map2_s, num_segments=M2)
+        f = jax.ops.segment_max(
+            ((frz_s | over2_s) & live_s).astype(jnp.int32), map2_s,
+            num_segments=M2) > 0
+        return c, s, f
+
+    if SMALL < M:
+        cls_lp, size, frozen = jax.lax.cond(
+            n_comp_total <= SMALL,
+            lambda a: _redensify(*(x[:SMALL] for x in a)),
+            lambda a: _redensify(*a),
+            (cls_lp, size, frozen, map2, over2, live))
+    else:
+        cls_lp, size, frozen = _redensify(cls_lp, size, frozen, map2,
+                                          over2, live)
     # one fused run-granular apply: dedup id + frozen flag per pixel
     # (see stage-2 comment).  M2 <= 46339 < 2^16, the flag rides bit 16.
-    t = map2 if tparent is None else map2[tparent]
-    t = t | jnp.where(frozen[t], 1 << 16, 0)
-    tp = _run_apply(t, comp_c, comp2d_s1, runs)
+    # The table is composed at RUN granularity (G-sized gathers) on the
+    # fast path; the M-sized composition (~0.6 ms per M-gather, xprof)
+    # only executes on the run-budget-overflow fallback.
+    tcur_c = comp_c if tparent is None else tparent[comp_c]
+    t_c = map2[tcur_c]
+    t_c = t_c | jnp.where(frozen[t_c], 1 << 16, 0)
+
+    def _t_full():
+        t = map2 if tparent is None else map2[tparent]
+        return t | jnp.where(frozen[t], 1 << 16, 0)
+
+    tp = _run_apply(None, comp_c, comp2d_s1, runs, vals_c=t_c,
+                    table_fn=_t_full)
     comp2d = tp & ((1 << 16) - 1)
     froz2d = tp >= (1 << 16)
 
@@ -1800,9 +1865,10 @@ def decode_hierarchical(class_probs, sameness_probs, num_classes, offsets,
     parent, root_class, is_inst = _finalize_tables(
         cls_lp, size, frozen, M2, do_prune, prune_threshold)
     tm = total_map if parent is None else parent[total_map]
-    # compose the final M2 tables back to STAGE-1 ids (M-sized gathers,
-    # ~us) so the per-pixel apply is one run-granular fill
-    t16 = t & ((1 << 16) - 1)
+    # compose the final M2 tables back to per-RUN values (G-sized
+    # gathers) so the per-pixel apply is one run-granular fill; the
+    # M-sized composition only executes on the fallback path
+    t16_c = t_c & ((1 << 16) - 1)
     if relabel:
         # compose the instance-id table into tm so the final mask costs
         # ONE per-pixel apply (the separate relabel_mask call costs a
@@ -1810,14 +1876,18 @@ def decode_hierarchical(class_probs, sameness_probs, num_classes, offsets,
         # relabel_mask(tm[comp2d], root_class, is_inst)
         inst_id = jnp.cumsum(is_inst.astype(jnp.int32))
         idtab = jnp.where(is_inst, inst_id, 0)
-        mask = _run_apply(idtab[tm][t16], comp_c, comp2d_s1, runs)
+        mask = _run_apply(
+            None, comp_c, comp2d_s1, runs, vals_c=idtab[tm[t16_c]],
+            table_fn=lambda: idtab[tm][_t_full() & ((1 << 16) - 1)])
         k = jnp.where(is_inst, inst_id - 1, M2 - 1)
         inst_class = jnp.full((M2,), -1, jnp.int32).at[k].max(
             jnp.where(is_inst, root_class,
                       jnp.full_like(root_class, -1)))
         out = (mask, inst_class)
     else:
-        comp = _run_apply(tm[t16], comp_c, comp2d_s1, runs)
+        comp = _run_apply(
+            None, comp_c, comp2d_s1, runs, vals_c=tm[t16_c],
+            table_fn=lambda: tm[_t_full() & ((1 << 16) - 1)])
         out = (comp, root_class, is_inst)
     if return_stats:
         stats = dict(stats, n_frozen=jnp.sum(frozen.astype(jnp.int32)))
