@@ -1,15 +1,19 @@
-"""Export a trained PSPFPNet checkpoint + one val image as committed
+"""Export a trained PSPFPNet checkpoint + val images as committed
 bench fixtures (VERDICT r3 #5): bench.py's fused e2e path then runs REAL
-weights on a REAL image and decodes the net's OWN outputs instead of
+weights on REAL images and decodes the net's OWN outputs instead of
 mixing a fixture scene into a random-weights forward.
 
 Writes to tests/fixtures/certification512/:
-    bench_ckpt.npz — flattened param/batch_stats tree; params in f16
-                     (bench casts to bf16 anyway), batch_stats in f32
-    bench_img.png  — one val image (the first committed fixture's)
+    bench_ckpt.npz  — flattened param/batch_stats tree; params in f16
+                      (bench casts to bf16 anyway), batch_stats in f32
+    bench_img.png   — first val image (kept for fixture back-compat)
+    bench_img_{k}.png — further val images, so the fused-e2e timing gets
+                      the same across-image spread treatment as the
+                      staged decode (e2e cost is data-dependent through
+                      the decode stage; VERDICT r4 #5)
 
 Usage:
-    python scripts/export_bench_checkpoint.py /tmp/cert512b seed0
+    python scripts/export_bench_checkpoint.py /tmp/cert512 seed0 [n_imgs]
 """
 import json
 import os
@@ -82,18 +86,21 @@ def main():
                  "b", flat, cast16=False)
     np.savez_compressed(os.path.join(FIX, "bench_ckpt.npz"), **flat)
 
-    # the first committed fixture's val image, for the e2e input
+    # the first committed fixtures' val images, for the e2e inputs
     from mergenet_tpu.data.coco import COCO
     val_ann = os.path.join(out_dir, "data", "annotations",
                            "instancesonly_val.json")
     coco = COCO(val_ann)
-    first = sorted(coco.imgs.keys())[0]
-    fname = coco.loadImgs(first)[0]["file_name"]
-    shutil.copy(os.path.join(out_dir, "data", "val", fname),
-                os.path.join(FIX, "bench_img.png"))
+    n_imgs = int(sys.argv[3]) if len(sys.argv) > 3 else 4
+    ids = sorted(coco.imgs.keys())[:n_imgs]
+    for k, img_id in enumerate(ids):
+        fname = coco.loadImgs(img_id)[0]["file_name"]
+        dst = "bench_img.png" if k == 0 else "bench_img_%d.png" % k
+        shutil.copy(os.path.join(out_dir, "data", "val", fname),
+                    os.path.join(FIX, dst))
     sz = os.path.getsize(os.path.join(FIX, "bench_ckpt.npz"))
-    print("wrote bench_ckpt.npz (%.1f MB) + bench_img.png (val id %s)"
-          % (sz / 1e6, first))
+    print("wrote bench_ckpt.npz (%.1f MB) + %d val images (ids %s)"
+          % (sz / 1e6, len(ids), ids))
 
 
 if __name__ == "__main__":

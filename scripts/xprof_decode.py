@@ -131,7 +131,8 @@ def main():
     if args.net:
         from mergenet_tpu.models import get_model
         from bench import _bench_checkpoint
-        params, batch_stats, img = _bench_checkpoint()
+        params, batch_stats, imgs = _bench_checkpoint()
+        img = imgs[0]
         model = get_model(num_classes, 10, "pspfpnet")
         variables = jax.tree_util.tree_map(
             lambda a: jnp.asarray(a, jnp.bfloat16)
