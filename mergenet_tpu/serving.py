@@ -26,7 +26,7 @@ annealed exact fallback measures +1.5 AP over the C++ greedy,
 docs/decoder.md).
 
 Throughput: see bench.py / the driver's newest
-BENCH_rNN.json (16.44 fps/chip as of round 4, driver-measured —
+BENCH_rNN.json (22.01 fps/chip as of round 5, BENCH_LOCAL.json —
 `scripts/check_docs_numbers.py` keeps this number honest); per-chip
 decode is independent, so a
 v5e-8 slice serves ~8x that (validated for compile+execution on a
